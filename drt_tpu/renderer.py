@@ -1,0 +1,198 @@
+"""Fixed-depth wavefront path tracer over flat SoA ray state.
+
+This replaces the reference's unbounded per-ray recursion
+(reference: include/drt/pathtracer.hpp:121-136 `trace`, :91-115 `scatter`,
+:72-89 `raycast`) with a `lax.scan` over bounces: every bounce intersects
+the whole live wavefront, adds emission into a radiance accumulator, samples
+the BxDF, and updates throughput. Dead rays (absorbed by Russian roulette,
+missed, or carrying exactly-zero throughput) are masked, never branched on.
+
+Per-path estimator identity (what the adjoint in drt_tpu/adjoint.py
+differentiates analytically):
+
+    L = sum_b P_b * e_b,   P_b = prod_{j<=b} gate_j * prod_{j<b} w_j
+
+where gate_j is the Russian-roulette survival factor at bounce j
+(1/(1-absorb) past min_bounces, 0 if absorbed/missed — reference:
+pathtracer.hpp:128-133), w_j = albedo_j * s_j * cos_j / pdf_j is the
+componentwise throughput factor (reference: pathtracer.hpp:97-111), and
+e_b is the gathered emission (reference: pathtracer.hpp:113-114).
+
+RNG: counter-based `jax.random` (threefry). Per-bounce uniforms come from
+`fold_in(key, bounce)`; slot layout per ray is (rr, u1, u2), mirroring the
+reference's per-vertex consumption order RR -> theta -> phi (SURVEY.md §3.2).
+A `tape` argument injects recorded uniforms instead, for exact parity with
+the reference's libc-rand stream (reference: random.hpp:7-10).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from drt_tpu.camera import Camera, camera_rays, pixel_grid
+from drt_tpu.config import RenderConfig
+from drt_tpu.constants import RAY_EPS
+from drt_tpu.ops.bxdf import eval_scale, sample_bxdf
+from drt_tpu.ops.intersect import intersect_scene
+from drt_tpu.ops.vecmath import dot
+from drt_tpu.scene import Params, Scene, albedo_table, emission_table
+
+# Key salts (arbitrary distinct constants) for independent streams.
+CAMERA_SALT = 0x0CA3
+BWD_SALT = 0x0ADD
+
+
+class BounceResiduals(NamedTuple):
+    """Per-bounce values stacked over depth, consumed by the adjoint."""
+
+    P: jnp.ndarray  # f[D, N, 3] emission weight (gated throughput prefix)
+    sc: jnp.ndarray  # f[D, N] scalar factor s*cos/pdf so w = albedo[aid]*sc
+    gate: jnp.ndarray  # f[D, N] RR/liveness gate at this bounce
+    aid: jnp.ndarray  # i32[D, N] albedo row of this bounce's material
+    eid: jnp.ndarray  # i32[D, N] emission row of this bounce's emitter
+
+
+def _bounce(params_tabs, scene: Scene, cfg: RenderConfig, carry, b, u):
+    """One wavefront bounce. carry = (o, d, T, L, alive).
+
+    A ray dies only when absorbed by Russian roulette or on a miss — NOT
+    when its throughput reaches zero: the reference keeps recursing with a
+    zero BRDF value (e.g. after a null-BxDF emitter hit,
+    pathtracer.hpp:17-35), and gradient parity requires it — a red->green
+    wall sequence zeroes all throughput channels while per-channel
+    gradients still flow through the continued path.
+    """
+    albedo_tab, emission_tab = params_tabs
+    o, d, T, L, alive = carry
+    n_emit = emission_tab.shape[0] - 1  # sentinel (zero) row index
+
+    # Russian roulette at path vertex depth b (reference: pathtracer.hpp:
+    # 128-133): absorb with prob `absorb` once depth >= min_bounces;
+    # survivors are compensated by 1/(1 - absorb).
+    do_rr = b >= cfg.min_bounces
+    absorbed = do_rr & (u[:, 0] < cfg.absorb_prob)
+    rr_scale = jnp.where(do_rr, 1.0 / (1.0 - cfg.absorb_prob), 1.0)
+    alive = alive & ~absorbed
+
+    # Nearest hit (reference: pathtracer.hpp:72-89).
+    hit = intersect_scene(scene, o, d, emit_sentinel=n_emit)
+    alive = alive & hit.valid
+    gate = jnp.where(alive, rr_scale, 0.0).astype(T.dtype)
+
+    # Emission contribution at this vertex (reference: pathtracer.hpp:
+    # 113-114); the RR divide applies to emission too (pathtracer.hpp:133).
+    P = T * gate[:, None]  # gate=0 masks dead rays; T is NaN-free
+    e = emission_tab[hit.emit]
+    L = L + P * e
+
+    # BxDF sample + eval (reference: pathtracer.hpp:91-111). dir_in is the
+    # negated incoming ray direction (pathtracer.hpp:100-101, 106-109).
+    mt = scene.mat_type[hit.mat]
+    mex = scene.mat_exponent[hit.mat].astype(T.dtype)
+    aid = scene.mat_albedo[hit.mat]
+    d_in = -d
+    dir_out, pdf = sample_bxdf(mt, mex, hit.normal, d_in, u[:, 1], u[:, 2])
+    s = eval_scale(mt, mex, hit.normal, d_in, dir_out)
+    cos_t = dot(hit.normal, dir_out)  # raw normal dot (pathtracer.hpp:103)
+    # Sanitize the scalar factor for dead rays (their hit data is garbage
+    # — inf/NaN from the miss) so NaN never enters throughput or, via
+    # 0 * NaN, reverse-mode cotangents.
+    sc = jnp.where(alive, s * cos_t / pdf, 0.0)
+    a = albedo_tab[aid]
+    T_next = P * (a * sc[:, None])
+
+    o_next = jnp.where(alive[:, None], hit.point + RAY_EPS * dir_out, 0.0)
+    d_next = jnp.where(alive[:, None], dir_out, 0.0)
+
+    new_carry = (o_next, d_next, T_next, L, alive)
+    res = (P, sc, gate, aid, hit.emit)
+    return new_carry, res
+
+
+@partial(jax.jit, static_argnames=("cfg", "collect"))
+def trace_rays(params: Params, scene: Scene, orig: jnp.ndarray,
+               dir: jnp.ndarray, key, cfg: RenderConfig,
+               tape: jnp.ndarray | None = None, collect: bool = False):
+    """Trace a wavefront of rays to radiance.
+
+    Args:
+      params: differentiable shading parameters.
+      scene: static scene arrays.
+      orig, dir: f[N, 3] primary rays.
+      key: PRNG key for per-bounce sampling (ignored if `tape` given).
+      cfg: static config (max_depth, min_bounces, absorb_prob, ...).
+      tape: optional f[max_depth, N, 3] injected uniforms with slot layout
+        (rr, u1, u2) per bounce — the sample-injection parity harness.
+      collect: also return per-bounce `BounceResiduals` for the adjoint.
+
+    Returns radiance f[N, 3], or (radiance, BounceResiduals).
+    """
+    dtype = orig.dtype
+    n = orig.shape[0]
+    albedo_tab = albedo_table(scene, params).astype(dtype)
+    emission_tab = emission_table(scene, params).astype(dtype)
+
+    T0 = jnp.ones((n, 3), dtype)
+    L0 = jnp.zeros((n, 3), dtype)
+    alive0 = jnp.ones((n,), bool)
+
+    def body(carry, xb):
+        b = xb[0] if tape is not None else xb
+        if tape is not None:
+            u = xb[1]
+        else:
+            u = jax.random.uniform(jax.random.fold_in(key, b), (n, 3),
+                                   dtype=dtype)
+        return _bounce((albedo_tab, emission_tab), scene, cfg, carry, b, u)
+
+    bounces = jnp.arange(cfg.max_depth)
+    xs = (bounces, tape) if tape is not None else bounces
+    (o, d, T, L, alive), res = lax.scan(
+        body, (orig, dir, T0, L0, alive0), xs
+    )
+    if collect:
+        return L, BounceResiduals(*res)
+    return L
+
+
+def render_image(params: Params, scene: Scene, cam: Camera, key,
+                 cfg: RenderConfig, trace_fn=None) -> jnp.ndarray:
+    """Render an image: mean over spp of per-sample radiance / camera pdf
+    (reference main loop: src/render.cpp:72-87; camera pdf is 1).
+
+    trace_fn: optional replacement for `trace_rays(params, orig, dir, key)`
+    — e.g. the custom_vjp radiative-backprop renderer from
+    `make_diff_renderer` — with signature (params, orig, dir, key) -> f[N,3].
+    Memory is bounded by rendering `cfg.spp_chunks` sample chunks
+    sequentially under `lax.map`.
+    """
+    w, h = cfg.width, cfg.height
+    assert cfg.spp % cfg.spp_chunks == 0
+    spp_c = cfg.spp // cfg.spp_chunks
+    xy = pixel_grid(w, h)  # [H*W, 2]
+    xy_rep = jnp.repeat(xy, spp_c, axis=0)  # [H*W*spp_c, 2]
+    n = xy_rep.shape[0]
+
+    if trace_fn is None:
+        def trace_fn(p, o, d, k):
+            return trace_rays(p, scene, o, d, k, cfg)
+
+    def render_chunk(chunk_idx):
+        ck = jax.random.fold_in(key, chunk_idx)
+        cam_u = jax.random.uniform(
+            jax.random.fold_in(ck, CAMERA_SALT), (n, 2),
+            dtype=cam.forward.dtype)
+        o, d, pdf = camera_rays(cam, w, h, xy_rep, cam_u)
+        radiance = trace_fn(params, o, d, ck)
+        radiance = radiance / pdf[:, None]
+        return radiance.reshape(h, w, spp_c, 3).mean(axis=2)
+
+    if cfg.spp_chunks == 1:
+        return render_chunk(jnp.asarray(0))
+    images = lax.map(render_chunk, jnp.arange(cfg.spp_chunks))
+    return images.mean(axis=0)
