@@ -1,0 +1,3 @@
+from drt_tpu.parallel import mesh
+
+__all__ = ["mesh"]

@@ -1,0 +1,58 @@
+"""Sharded rendering / training-step builders.
+
+Composes the wavefront renderer + radiative-backprop VJP with a device
+mesh: rays sharded over (tiles, spp), params replicated, parameter-grad
+partial sums psum'd by the SPMD partitioner (design per SURVEY.md §2/§7;
+the reference has no parallel analogue — src/render.cpp:72-86 is serial).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from drt_tpu.adjoint import make_diff_renderer
+from drt_tpu.camera import Camera
+from drt_tpu.config import RenderConfig
+from drt_tpu.parallel.mesh import constrain_rays, replicated
+from drt_tpu.renderer import render_image, trace_rays
+from drt_tpu.scene import Params, Scene
+
+
+def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
+                  mesh: Mesh | None = None, differentiable: bool = True):
+    """Build `render(params, key) -> image f[H,W,3]`, jitted.
+
+    With a mesh, per-ray arrays are sharding-constrained over it and params
+    are replicated; gradients of the returned function psum over the mesh.
+    """
+    if differentiable:
+        diff = make_diff_renderer(scene, cfg)
+
+        def trace_fn(p, o, d, k):
+            if mesh is not None:
+                o = constrain_rays(o, mesh)
+                d = constrain_rays(d, mesh)
+            return diff(p, o, d, jax.random.key_data(k))
+    else:
+        def trace_fn(p, o, d, k):
+            if mesh is not None:
+                o = constrain_rays(o, mesh)
+                d = constrain_rays(d, mesh)
+            return trace_rays(p, scene, o, d, k, cfg)
+
+    def render(params: Params, key) -> jnp.ndarray:
+        return render_image(params, scene, cam, key, cfg, trace_fn=trace_fn)
+
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        n_rays = cfg.width * cfg.height * (cfg.spp // cfg.spp_chunks)
+        if n_rays % n_dev != 0:
+            raise ValueError(
+                f"rays per chunk ({n_rays}) must divide evenly over the "
+                f"{n_dev}-device mesh; adjust width/height/spp")
+        return jax.jit(render, in_shardings=(replicated(mesh), None))
+    return jax.jit(render)

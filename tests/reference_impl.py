@@ -30,24 +30,38 @@ SLOT_RR, SLOT_U1, SLOT_U2 = 0, 1, 2
 
 
 class Tape:
-    """Records uniforms linearly and structured by (ray, bounce, slot)."""
+    """Records uniforms linearly and structured by (ray, bounce, slot).
 
-    def __init__(self, rng: np.random.Generator, n_rays: int, max_depth: int):
+    With `values` given, replays that linear stream instead of drawing —
+    used to consume the exact uniforms fed to the C++ golden harness.
+    """
+
+    def __init__(self, rng: np.random.Generator | None, n_rays: int,
+                 max_depth: int, values: np.ndarray | None = None):
         self.rng = rng
+        self.values = values
+        self.pos = 0
         self.linear: list[float] = []
         self.cam_u = np.full((n_rays, 2), 0.5)
         self.bounce_u = np.full((max_depth, n_rays, 3), 0.5)
         self.max_depth = max_depth
 
-    def draw_cam(self, ray: int, slot: int) -> float:
-        v = float(self.rng.random())
+    def _next(self) -> float:
+        if self.values is not None:
+            v = float(self.values[self.pos])
+            self.pos += 1
+        else:
+            v = float(self.rng.random())
         self.linear.append(v)
+        return v
+
+    def draw_cam(self, ray: int, slot: int) -> float:
+        v = self._next()
         self.cam_u[ray, slot] = v
         return v
 
     def draw_bounce(self, ray: int, depth: int, slot: int) -> float:
-        v = float(self.rng.random())
-        self.linear.append(v)
+        v = self._next()
         if depth < self.max_depth:
             self.bounce_u[depth, ray, slot] = v
         return v
@@ -312,7 +326,8 @@ def build_cbox():
 
 
 def render_mirror(width, height, spp, *, absorb=0.5, min_bounces=1,
-                  max_depth=16, seed=0, scene=None, camera=None):
+                  max_depth=16, seed=0, scene=None, camera=None,
+                  tape_values=None):
     """Render per-sample radiance with the mirror tracer.
 
     Returns (full f64[N,3], truncated f64[N,3], tape) with ray order
@@ -325,7 +340,8 @@ def render_mirror(width, height, spp, *, absorb=0.5, min_bounces=1,
         camera.look_at([0.0, 0.0, 0.0], [0.0, 0.0, 1.0])
     tracer = MirrorTracer(scene, absorb, min_bounces)
     n = width * height * spp
-    tape = Tape(np.random.default_rng(seed), n, max_depth)
+    tape = Tape(np.random.default_rng(seed), n, max_depth,
+                values=tape_values)
     full = np.zeros((n, 3))
     trunc = np.zeros((n, 3))
     ray = 0
