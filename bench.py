@@ -1,0 +1,114 @@
+"""Benchmark: Cornell-box forward+backward throughput on one chip.
+
+Headline metric (BASELINE.json): Mrays/s per chip, forward + radiative
+backprop, Cornell box at 256 spp. A "ray" here is a camera path sample
+(W*H*spp); the wavefront additionally traces up to `max_depth` bounce
+segments per sample on both the forward and the adjoint retrace.
+
+vs_baseline: ratio against the reference C++ renderer (single thread, -O3,
+the hardware the reference targets) measured on this machine via the golden
+harness in fwd+bwd mode (per-sample backward through its autodiff tape,
+src/render.cpp:79-80 semantics), scaled from a reduced-spp run (cost is
+linear in spp). If the reference can't be built here, vs_baseline is null.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+WIDTH, HEIGHT, SPP = 640, 480, 256
+MAX_DEPTH = 5  # BASELINE.json config 2: "full path tracing, depth-5, 256 spp"
+MIN_BOUNCES = 1
+ABSORB = 0.5
+BASELINE_SPP = 2  # reference measured at reduced spp, scaled linearly
+
+
+def measure_ours() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from drt_tpu.adjoint import make_diff_image_renderer
+    from drt_tpu.config import RenderConfig
+    from drt_tpu.models import cbox
+    from drt_tpu.renderer import render_image
+
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT, spp=SPP,
+                       min_bounces=MIN_BOUNCES, absorb_prob=ABSORB,
+                       max_depth=MAX_DEPTH, spp_chunks=16)
+    diff = make_diff_image_renderer(scene, cam, cfg)
+
+    @jax.jit
+    def fwd(p, key):
+        return render_image(p, scene, cam, key, cfg)
+
+    @jax.jit
+    def fwdbwd(p, key):
+        def loss(pp):
+            return diff(pp, jax.random.key_data(key)).sum()
+        return jax.value_and_grad(loss)(p)
+
+    n_rays = WIDTH * HEIGHT * SPP
+
+    def time_best(fn, *args, reps=3):
+        fn(*args)  # compile + warm up
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_fwd = time_best(fwd, params, jax.random.key(0))
+    t_fwdbwd = time_best(fwdbwd, params, jax.random.key(0))
+    return {
+        "fwd_mrays_s": n_rays / t_fwd / 1e6,
+        "fwdbwd_mrays_s": n_rays / t_fwdbwd / 1e6,
+        "t_fwd_s": t_fwd,
+        "t_fwdbwd_s": t_fwdbwd,
+    }
+
+
+def measure_reference() -> float | None:
+    """Reference fwd+bwd throughput in Mrays/s (camera samples), or None."""
+    sys.path.insert(0, "tests")
+    try:
+        import golden_harness as gh
+        if not gh.golden_available():
+            return None
+        gh.build()
+        t0 = time.perf_counter()
+        gh.run(WIDTH, HEIGHT, BASELINE_SPP, min_bounces=MIN_BOUNCES,
+               absorb=ABSORB, grad=True, seed=0)
+        dt = time.perf_counter() - t0
+        return WIDTH * HEIGHT * BASELINE_SPP / dt / 1e6
+    except Exception:
+        return None
+
+
+def main() -> None:
+    ours = measure_ours()
+    ref = measure_reference()
+    vs = (ours["fwdbwd_mrays_s"] / ref) if ref else None
+    print(json.dumps({
+        "metric": "cbox_640x480_256spp_depth5_fwdbwd_throughput",
+        "value": round(ours["fwdbwd_mrays_s"], 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "detail": {
+            "fwd_mrays_s": round(ours["fwd_mrays_s"], 3),
+            "t_fwd_s": round(ours["t_fwd_s"], 4),
+            "t_fwdbwd_s": round(ours["t_fwdbwd_s"], 4),
+            "reference_fwdbwd_mrays_s": round(ref, 4) if ref else None,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,41 +39,59 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from drt_tpu.camera import Camera
 from drt_tpu.config import RenderConfig
-from drt_tpu.renderer import BWD_SALT, trace_rays
+from drt_tpu.renderer import (BWD_SALT, chunk_pixel_ids, chunk_rays,
+                              render_image, trace_rays)
 from drt_tpu.scene import Params, Scene, albedo_table, emission_table
 
 
-def _param_grads(params: Params, scene: Scene, residuals, g: jnp.ndarray,
-                 dtype) -> Params:
-    """Close the gradient from per-bounce residuals via a reverse scan."""
-    albedo_tab = albedo_table(scene, params).astype(dtype)
-    emission_tab = emission_table(scene, params).astype(dtype)
+def _param_grads(params: Params, scene: Scene, residuals, g, dtype) -> Params:
+    """Close the gradient from per-bounce residuals via a reverse scan.
+
+    g: V3 of f[N] per-ray cotangent. Scatter-adds run as per-channel [N]
+    segment_sums, keeping the ray axis on the TPU vector lanes (no [N, 3]
+    temporaries inside the scan).
+    """
+    from drt_tpu.ops.vecmath import V3, gatherv
+
+    albedo_tab = albedo_table(scene, params).astype(dtype)  # [K+1, 3]
+    emission_tab = emission_table(scene, params).astype(dtype)  # [L+1, 3]
     n_alb = albedo_tab.shape[0]  # K + 1 (ones sentinel)
     n_emit = emission_tab.shape[0]  # L + 1 (zeros sentinel)
-    n_rays = g.shape[0]
+    n_rays = g.x.shape[0]
+
+    def segv(data: V3, ids, num) -> V3:
+        """V3 of f[N] -> V3 of f[num] by segment id. The tables are tiny
+        (a handful of rows), so this is `num` masked reductions per
+        channel — one fused elementwise+reduce pass on the VPU — instead
+        of `segment_sum`, whose scatter lowering measured ~50x slower on
+        TPU for this workload."""
+        def seg1(c):
+            return jnp.stack([jnp.sum(jnp.where(ids == k, c, 0))
+                              for k in range(num)])
+        return V3(seg1(data.x), seg1(data.y), seg1(data.z))
 
     def rev_body(carry, res_b):
-        S, da, de = carry  # S = suffix radiance S_{b+1}, f[N,3]
+        S, da, de = carry  # S = suffix radiance S_{b+1}, V3 of f[N]
         P, sc, gate, aid, eid = res_b
-        e = emission_tab[eid]
+        e = gatherv(emission_tab, eid)
         gP = g * P
-        de = de + jax.ops.segment_sum(gP, eid, num_segments=n_emit)
-        da = da + jax.ops.segment_sum(gP * sc[:, None] * S, aid,
-                                      num_segments=n_alb)
-        w = albedo_tab[aid] * sc[:, None]
-        S = gate[:, None] * (e + w * S)
+        de = de + segv(gP, eid, n_emit)
+        da = da + segv(gP * sc * S, aid, n_alb)
+        w = gatherv(albedo_tab, aid) * sc
+        S = (e + w * S) * gate
         return (S, da, de), None
 
-    S0 = jnp.zeros((n_rays, 3), dtype)
-    da0 = jnp.zeros((n_alb, 3), dtype)
-    de0 = jnp.zeros((n_emit, 3), dtype)
+    S0 = V3.zeros((n_rays,), dtype)
+    da0 = V3.zeros((n_alb,), dtype)
+    de0 = V3.zeros((n_emit,), dtype)
     (S, da, de), _ = lax.scan(rev_body, (S0, da0, de0), residuals,
                               reverse=True)
     k = params.albedo.shape[0]
     l = params.emission.shape[0]
-    return Params(albedo=da[:k].astype(params.albedo.dtype),
-                  emission=de[:l].astype(params.emission.dtype))
+    return Params(albedo=da.to_array()[:k].astype(params.albedo.dtype),
+                  emission=de.to_array()[:l].astype(params.emission.dtype))
 
 
 def make_diff_renderer(scene: Scene, cfg: RenderConfig, use_tape: bool = False):
@@ -112,9 +130,9 @@ def make_diff_renderer(scene: Scene, cfg: RenderConfig, use_tape: bool = False):
             # Replay the forward's samples (reference: integrate.hpp:26-37).
             brng = rng
         _, residuals = _forward(params, orig, dir, brng, collect=True)
-        dparams = _param_grads(params, scene, residuals, g, orig.dtype)
-        d_orig = jnp.zeros_like(orig)
-        d_dir = jnp.zeros_like(dir)
+        dparams = _param_grads(params, scene, residuals, g, orig.x.dtype)
+        d_orig = jax.tree.map(jnp.zeros_like, orig)
+        d_dir = jax.tree.map(jnp.zeros_like, dir)
         if use_tape:
             d_rng = jnp.zeros_like(rng)
         else:
@@ -123,3 +141,70 @@ def make_diff_renderer(scene: Scene, cfg: RenderConfig, use_tape: bool = False):
 
     diff_trace.defvjp(fwd, bwd)
     return diff_trace
+
+
+def make_diff_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
+                             constrain=None):
+    """Build `render(params, rng) -> image f[H,W,3]`, differentiable in
+    params, with the spp-chunk loop INSIDE the custom VJP.
+
+    This is the memory-correct composition: the forward stores only
+    (params, rng) — true radiative backprop, nothing per-ray survives the
+    forward — and the backward rebuilds each chunk's rays from the key,
+    retraces, and accumulates parameter gradients chunk by chunk. Naively
+    differentiating through the chunked `render_image` would instead stack
+    per-chunk residuals across the whole sample budget.
+
+    constrain: optional fn(x) applying a mesh sharding constraint to
+    per-ray arrays (see drt_tpu.parallel.mesh.constrain_rays).
+    """
+    spp_c = cfg.spp // cfg.spp_chunks
+    ident = constrain if constrain is not None else (lambda x: x)
+
+    def _trace(p, o, d, k, collect=False):
+        return trace_rays(p, scene, ident(o), ident(d), k, cfg,
+                          collect=collect)
+
+    @jax.custom_vjp
+    def render(params, rng):
+        key = jax.random.wrap_key_data(rng)
+        return render_image(params, scene, cam, key, cfg,
+                            trace_fn=lambda p, o, d, k: _trace(p, o, d, k))
+
+    def fwd(params, rng):
+        return render(params, rng), (params, rng)
+
+    def bwd(res, g):
+        params, rng = res
+        key = jax.random.wrap_key_data(rng)
+        dtype = cam.forward.dtype
+        xy_rep = chunk_pixel_ids(cfg)
+        # Per-ray cotangent: image = mean over chunks of (mean over spp_c
+        # of radiance/pdf), so d radiance = g[pixel] / (spp_c * chunks * pdf).
+        g_pix = (g / (spp_c * cfg.spp_chunks)).astype(dtype)
+
+        from drt_tpu.ops.vecmath import V3
+        # Per-channel [H, W] planes -> per-ray [N] gathers (no [N, 3]).
+        g_planes = V3(g_pix[:, :, 0], g_pix[:, :, 1], g_pix[:, :, 2])
+
+        def chunk_grads(chunk_idx):
+            ck = jax.random.fold_in(key, chunk_idx)
+            o, d, pdf = chunk_rays(cam, cfg, xy_rep, ck)
+            if cfg.unbiased:
+                bk = jax.random.fold_in(ck, BWD_SALT)
+            else:
+                bk = ck
+            _, residuals = _trace(params, o, d, bk, collect=True)
+            yidx, xidx = xy_rep[:, 1], xy_rep[:, 0]
+            g_ray = V3(*(ident(p[yidx, xidx] / pdf) for p in g_planes))
+            return _param_grads(params, scene, residuals, g_ray, dtype)
+
+        if cfg.spp_chunks == 1:
+            dparams = chunk_grads(jnp.asarray(0))
+        else:
+            stacked = lax.map(chunk_grads, jnp.arange(cfg.spp_chunks))
+            dparams = jax.tree.map(lambda x: x.sum(0), stacked)
+        return (dparams, np.zeros(np.shape(rng), jax.dtypes.float0))
+
+    render.defvjp(fwd, bwd)
+    return render

@@ -64,23 +64,27 @@ def camera_rays(cam: Camera, width: int, height: int,
          the reference consumes them in that order, camera.hpp:53-54).
 
     Returns:
-      (orig f[N,3], dir f[N,3], pdf f[N]) — pdf is identically 1.
+      (orig V3 of f[N], dir V3 of f[N], pdf f[N]) — pdf is identically 1.
+      Scalarized SoA: each component is a rank-1 [N] array riding the TPU
+      vector lanes (see drt_tpu/ops/vecmath.py).
     """
+    from drt_tpu.ops.vecmath import V3, normalizev
     dtype = cam.forward.dtype
+    n = xy.shape[0]
     x = xy[:, 0].astype(dtype)
     y = xy[:, 1].astype(dtype)
     s = (x + u[:, 0]) / width
     t = (y + u[:, 1]) / height
     aspect = float(width) / float(height)
     half = jnp.tan(cam.vfov / 2.0)
-    d = (
-        cam.forward[None, :]
-        + ((2.0 * s - 1.0) * aspect * half)[:, None] * cam.right[None, :]
-        + ((2.0 * t - 1.0) * half)[:, None] * (-cam.up)[None, :]
-    )
-    d = normalize(d)
-    orig = jnp.broadcast_to(cam.eye[None, :], d.shape)
-    return orig, d, jnp.ones(d.shape[0], dtype)
+    a = (2.0 * s - 1.0) * aspect * half  # [N] right coefficient
+    b = (2.0 * t - 1.0) * half  # [N] (-up) coefficient
+    fwd, right, up = (V3.from_array(cam.forward), V3.from_array(cam.right),
+                      V3.from_array(cam.up))
+    d = normalizev(fwd + right * a + (-up) * b)
+    orig = V3(*(jnp.broadcast_to(c, (n,)) for c in
+                (cam.eye[0], cam.eye[1], cam.eye[2])))
+    return orig, d, jnp.ones(n, dtype)
 
 
 def pixel_grid(width: int, height: int) -> jnp.ndarray:

@@ -1,0 +1,171 @@
+"""Command-line renderer (the reference app's user surface).
+
+Mirrors the reference CLI flags and defaults (reference: src/args.hpp:19-67
+— width 640, height 480, samples 100, min-bounces 1, absorb-prob 0.5,
+required output path) on the hard-coded sample scene (src/render.cpp:26-65),
+plus TPU-framework extras: max depth, spp chunking, seed, PNG output,
+gradient dumping, and the inverse-rendering subcommand.
+
+Usage:
+  python -m drt_tpu.cli render -o out.exr [-x W -y H -n SPP ...]
+  python -m drt_tpu.cli invert -o recovered.json [--steps 200 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_render_flags(p: argparse.ArgumentParser) -> None:
+    # Reference flags (src/args.hpp:19-67).
+    p.add_argument("-x", "--width", type=int, default=640)
+    p.add_argument("-y", "--height", type=int, default=480)
+    p.add_argument("-n", "--samples", type=int, default=100,
+                   help="samples per pixel")
+    p.add_argument("-b", "--min-bounces", type=int, default=1)
+    p.add_argument("-p", "--absorb-prob", type=float, default=0.5)
+    p.add_argument("-o", "--output", required=True)
+    # Framework extras.
+    p.add_argument("--max-depth", type=int, default=32)
+    p.add_argument("--spp-chunks", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--f64", action="store_true",
+                   help="trace in float64 (CPU validation mode)")
+
+
+def _build(args):
+    import jax.numpy as jnp
+
+    from drt_tpu.config import RenderConfig
+    from drt_tpu.models import cbox
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    scene, params, cam = cbox.build(dtype=dtype)
+    spp_chunks = args.spp_chunks
+    if args.samples % spp_chunks != 0:
+        spp_chunks = 1
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       spp=args.samples, min_bounces=args.min_bounces,
+                       absorb_prob=args.absorb_prob,
+                       max_depth=args.max_depth, spp_chunks=spp_chunks)
+    return scene, params, cam, cfg
+
+
+def _write(path: str, img: np.ndarray) -> None:
+    from drt_tpu.utils.image import write_exr, write_png
+
+    if path.endswith(".png"):
+        write_png(path, img)
+    else:
+        write_exr(path, img)
+
+
+def cmd_render(args) -> int:
+    import jax
+
+    from drt_tpu.renderer import render_image
+    from drt_tpu.utils.profiling import mrays_per_second
+
+    scene, params, cam, cfg = _build(args)
+    key = jax.random.key(args.seed)
+    t0 = time.time()
+    img = jax.jit(lambda p, k: render_image(p, scene, cam, k, cfg))(
+        params, key)
+    img = np.asarray(jax.block_until_ready(img))
+    dt = time.time() - t0
+    _write(args.output, img)
+    n_rays = cfg.width * cfg.height * cfg.spp
+    print(f"rendered {cfg.width}x{cfg.height}x{cfg.spp}spp in {dt:.2f}s "
+          f"({mrays_per_second(n_rays, dt):.2f} Mrays/s incl. compile) "
+          f"-> {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_grad(args) -> int:
+    """Render + parameter gradients of the mean image intensity."""
+    import jax
+
+    from drt_tpu.adjoint import make_diff_image_renderer
+
+    scene, params, cam, cfg = _build(args)
+    diff = make_diff_image_renderer(scene, cam, cfg)
+    rng = jax.random.key_data(jax.random.key(args.seed))
+
+    def loss(p):
+        return diff(p, rng).mean()
+
+    val, grads = jax.jit(jax.value_and_grad(loss))(params)
+    out = {
+        "mean_intensity": float(val),
+        "d_albedo": np.asarray(grads.albedo).tolist(),
+        "d_emission": np.asarray(grads.emission).tolist(),
+    }
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"gradients -> {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_invert(args) -> int:
+    """Inverse rendering (BASELINE.json config 4): recover albedos +
+    emission from a ground-truth render."""
+    import jax
+    import jax.numpy as jnp
+
+    from drt_tpu.optim import inverse_render
+    from drt_tpu.parallel.render import make_renderer
+    from drt_tpu.scene import Params
+
+    scene, params, cam, cfg = _build(args)
+    render = make_renderer(scene, cfg, cam, differentiable=False)
+    target = render(params, jax.random.key(args.seed + 1))
+
+    init = Params(albedo=jnp.full_like(params.albedo, 0.25),
+                  emission=jnp.full_like(params.emission, 0.5))
+    recovered, metrics = inverse_render(
+        scene, cfg, cam, target, init, jax.random.key(args.seed),
+        steps=args.steps, learning_rate=args.lr,
+        log_every=args.log_every)
+    out = {
+        "true_albedo": np.asarray(params.albedo).tolist(),
+        "recovered_albedo": np.asarray(recovered.albedo).tolist(),
+        "true_emission": np.asarray(params.emission).tolist(),
+        "recovered_emission": np.asarray(recovered.emission).tolist(),
+        "final_loss": float(metrics["loss"][-1]),
+    }
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"recovered params -> {args.output}", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="drt_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="forward render the sample scene")
+    _add_render_flags(pr)
+    pr.set_defaults(fn=cmd_render)
+
+    pg = sub.add_parser("grad", help="parameter gradients of mean intensity")
+    _add_render_flags(pg)
+    pg.set_defaults(fn=cmd_grad)
+
+    pi = sub.add_parser("invert", help="inverse rendering recovery loop")
+    _add_render_flags(pi)
+    pi.add_argument("--steps", type=int, default=200)
+    pi.add_argument("--lr", type=float, default=2e-2)
+    pi.add_argument("--log-every", type=int, default=20)
+    pi.set_defaults(fn=cmd_invert)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

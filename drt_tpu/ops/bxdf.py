@@ -1,9 +1,10 @@
-"""Branch-free vectorized BxDF evaluation and sampling.
+"""Branch-free vectorized BxDF evaluation and sampling (scalarized SoA).
 
 The reference dispatches BxDFs virtually per hit (reference: include/drt/
 bxdf.hpp:12-25, pathtracer.hpp:17-35). Here every ray computes all material
 variants' cheap scalar parts and selects by material type code — idiomatic
-for the VPU, where a gather + select beats divergent control flow.
+for the VPU, where a gather + select beats divergent control flow. Per-ray
+vectors are `V3`s of f[N] (see drt_tpu/ops/vecmath.py).
 
 BRDF values factor as `f = albedo_row * scale` with `scale` material-type
 dependent; the adjoint pass (drt_tpu/adjoint.py) exploits this linearity to
@@ -30,33 +31,33 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from drt_tpu.constants import PI
-from drt_tpu.ops.vecmath import cross, dot, normalize, reflect
+from drt_tpu.ops.vecmath import (V3, crossv, dotv, normalizev, reflectv,
+                                 wherev)
 from drt_tpu.scene import DIFFUSE, SPECULAR, MIRROR
 
 
-def make_frame(normal: jnp.ndarray):
+def make_frame(normal: V3):
     """ONB-ish frame about the raw normal (reference: bxdf.hpp:29-41).
-    normal: f[N,3] -> (tangent, bitangent, normal) each f[N,3]."""
-    nx = normal[:, 0]
-    ny = normal[:, 1]
-    use_e1 = jnp.abs(nx) < jnp.abs(ny)
-    e1 = jnp.zeros_like(normal).at[:, 0].set(1.0)
-    e2 = jnp.zeros_like(normal).at[:, 1].set(1.0)
-    tv = jnp.where(use_e1[:, None], e1 - normal * nx[:, None],
-                   e2 - normal * ny[:, None])
-    tangent = normalize(tv)
-    bitangent = normalize(cross(normal, tangent))
+    normal: V3 of f[N] -> (tangent, bitangent, normal)."""
+    use_e1 = jnp.abs(normal.x) < jnp.abs(normal.y)
+    one = jnp.ones_like(normal.x)
+    zero = jnp.zeros_like(normal.x)
+    e1 = V3(one, zero, zero)
+    e2 = V3(zero, one, zero)
+    tv = wherev(use_e1, e1 - normal * normal.x, e2 - normal * normal.y)
+    tangent = normalizev(tv)
+    bitangent = normalizev(crossv(normal, tangent))
     return tangent, bitangent, normal
 
 
-def angle_to_dir(theta, phi, frame):
+def angle_to_dir(theta, phi, frame) -> V3:
     """Spherical angles in a frame -> direction (reference: bxdf.hpp:43-52)."""
     tangent, bitangent, normal = frame
     st = jnp.sin(theta)
     x = jnp.cos(phi) * st
     y = jnp.sin(phi) * st
     z = jnp.cos(theta)
-    return x[:, None] * tangent + y[:, None] * bitangent + z[:, None] * normal
+    return tangent * x + bitangent * y + normal * z
 
 
 def _pow_cpp(base: jnp.ndarray, expo: jnp.ndarray) -> jnp.ndarray:
@@ -73,20 +74,19 @@ def _pow_cpp(base: jnp.ndarray, expo: jnp.ndarray) -> jnp.ndarray:
 
 
 def eval_scale(mat_type: jnp.ndarray, exponent: jnp.ndarray,
-               normal: jnp.ndarray, dir_in: jnp.ndarray,
-               dir_out: jnp.ndarray) -> jnp.ndarray:
-    """Scalar BRDF factor s so that f = albedo_row * s. All args batched
-    over N; dir_in points *away* from the surface (the tracer passes
-    -ray_dir, reference: pathtracer.hpp:100-101)."""
+               normal: V3, dir_in: V3, dir_out: V3) -> jnp.ndarray:
+    """Scalar BRDF factor s so that f = albedo_row * s. Scalars f[N];
+    dir_in points *away* from the surface (the tracer passes -ray_dir,
+    reference: pathtracer.hpp:100-101)."""
     # Diffuse: albedo / pi (bxdf.hpp:63-67).
-    s_diff = jnp.full(normal.shape[:1], 1.0 / PI, normal.dtype)
+    s_diff = jnp.full_like(normal.x, 1.0 / PI)
     # Specular (bxdf.hpp:93-104).
-    halfway = normalize(dir_in + dir_out)
-    cos_h = dot(normal, halfway)
+    halfway = normalizev(dir_in + dir_out)
+    cos_h = dotv(normal, halfway)
     sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
     s_spec = (exponent + 2.0) / (2.0 * PI) * _pow_cpp(cos_h, exponent) * sin_h
     # Mirror: 1 / cos(theta_out) (bxdf.hpp:131-136).
-    s_mirr = 1.0 / dot(normal, dir_out)
+    s_mirr = 1.0 / dotv(normal, dir_out)
     s = jnp.where(mat_type == DIFFUSE, s_diff,
                   jnp.where(mat_type == SPECULAR, s_spec,
                             jnp.where(mat_type == MIRROR, s_mirr, 0.0)))
@@ -94,14 +94,14 @@ def eval_scale(mat_type: jnp.ndarray, exponent: jnp.ndarray,
 
 
 def sample_bxdf(mat_type: jnp.ndarray, exponent: jnp.ndarray,
-                normal: jnp.ndarray, dir_in: jnp.ndarray,
+                normal: V3, dir_in: V3,
                 u1: jnp.ndarray, u2: jnp.ndarray):
     """Sample an outgoing direction per ray.
 
-    Returns (dir f[N,3], pdf f[N]). dir_in points away from the surface.
-    Null-material rays return (0, 1) like the reference's null fallback
-    (pathtracer.hpp:17-26) — their BRDF value is 0, so the path carries
-    zero throughput from here on.
+    Returns (dir V3 of f[N], pdf f[N]). dir_in points away from the
+    surface. Null-material rays return (0, 1) like the reference's null
+    fallback (pathtracer.hpp:17-26) — their BRDF value is 0, so the path
+    carries zero throughput from here on.
     """
     frame = make_frame(normal)
     # Diffuse cosine-weighted (bxdf.hpp:69-79).
@@ -112,21 +112,20 @@ def sample_bxdf(mat_type: jnp.ndarray, exponent: jnp.ndarray,
     # Specular half-vector (bxdf.hpp:106-120).
     th_s = jnp.arccos(jnp.sqrt(jnp.power(u1, 2.0 / (exponent + 2.0))))
     half = angle_to_dir(th_s, phi, frame)
-    flip = dot(half, dir_in) < 0
-    half = jnp.where(flip[:, None], reflect(half, normal), half)
-    dir_s = reflect(dir_in, half)
+    flip = dotv(half, dir_in) < 0
+    half = wherev(flip, reflectv(half, normal), half)
+    dir_s = reflectv(dir_in, half)
     pdf_s = ((exponent + 2.0) / (2.0 * PI)
              * jnp.power(jnp.cos(th_s), exponent + 1.0) * jnp.sin(th_s))
     # Mirror delta (bxdf.hpp:138-143).
-    dir_m = reflect(dir_in, normal)
+    dir_m = reflectv(dir_in, normal)
     pdf_m = jnp.ones_like(u1)
 
-    is_d = (mat_type == DIFFUSE)[:, None]
-    is_s = (mat_type == SPECULAR)[:, None]
-    is_m = (mat_type == MIRROR)[:, None]
-    d = jnp.where(is_d, dir_d, jnp.where(is_s, dir_s,
-                                         jnp.where(is_m, dir_m, 0.0)))
-    pdf = jnp.where(is_d[:, 0], pdf_d,
-                    jnp.where(is_s[:, 0], pdf_s,
-                              jnp.where(is_m[:, 0], pdf_m, 1.0)))
+    is_d = mat_type == DIFFUSE
+    is_s = mat_type == SPECULAR
+    is_m = mat_type == MIRROR
+    d = wherev(is_d, dir_d, wherev(is_s, dir_s, wherev(is_m, dir_m, 0.0)))
+    pdf = jnp.where(is_d, pdf_d,
+                    jnp.where(is_s, pdf_s,
+                              jnp.where(is_m, pdf_m, 1.0)))
     return d, pdf

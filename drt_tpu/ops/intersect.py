@@ -1,11 +1,14 @@
-"""Vectorized ray-scene intersection (nearest hit).
+"""Vectorized ray-scene intersection (nearest hit), scalarized SoA.
 
 Replaces the reference's per-ray linear scan with virtual dispatch
 (reference: include/drt/pathtracer.hpp:72-89 `raycast`, shape.hpp:20-24)
-by a masked, branch-free sweep: every ray is tested against every shape
-(the scene is small and replicated), invalid hits map to +inf, and the
-nearest hit is a first-min argmin — which reproduces the reference's
-keep-first tie behavior (`t >= tmin` skips, pathtracer.hpp:79).
+by a masked, branch-free sweep. All per-ray vectors are `V3`s of f[N]
+(scalarized SoA — see drt_tpu/ops/vecmath.py for why). The shape loop is
+unrolled in Python (static, small scene) with a running (t, index)
+minimum, so live buffers stay O(N) regardless of shape count; XLA fuses
+the unrolled chain into one elementwise pass over the wavefront. Strict
+`<` on the running minimum reproduces the reference's keep-first tie
+behavior (`t >= tmin` skips, pathtracer.hpp:79).
 
 Faithfully reproduced quirks:
   - plane: `t = (dot(o, n) - offset) / dot(d, -n)`, hit iff t > 0, with no
@@ -28,35 +31,40 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from drt_tpu.scene import Scene, PLANE, SPHERE, TRIANGLE
-from drt_tpu.ops.vecmath import cross, normalize
+from drt_tpu.ops.vecmath import V3, crossv, dotv, normalizev, wherev
 
 _TRI_DET_EPS = 1e-9
 
 
 class Hit(NamedTuple):
     t: jnp.ndarray  # f[N] distance (+inf on miss)
-    point: jnp.ndarray  # f[N, 3]
-    normal: jnp.ndarray  # f[N, 3] (raw plane normal; unit sphere/tri normal)
+    point: V3  # V3 of f[N]
+    normal: V3  # V3 of f[N] (raw plane normal; unit sphere/tri normal)
     mat: jnp.ndarray  # i32[N] material row (null sentinel on miss)
     emit: jnp.ndarray  # i32[N] emission row (zero sentinel on miss)
     valid: jnp.ndarray  # bool[N]
 
 
-def _plane_t(geo, o, d):
-    n = geo[None, :, 0:3]  # [1,S,3]
-    off = geo[None, :, 3]  # [1,S]
-    h = jnp.sum(o[:, None, :] * n, axis=-1) - off  # [N,S]
-    denom = jnp.sum(d[:, None, :] * (-n), axis=-1)
+def _cv3(geo, i) -> V3:
+    """Three scalar entries of a static geo row as a broadcastable V3."""
+    return V3(geo[i], geo[i + 1], geo[i + 2])
+
+
+def _plane_t(geo, o: V3, d: V3):
+    n = _cv3(geo, 0)
+    off = geo[3]
+    h = dotv(o, n) - off  # [N]
+    denom = dotv(d, -n)
     t = h / denom
     return t, t > 0
 
 
-def _sphere_t(geo, o, d):
-    c = geo[None, :, 0:3]
-    r = geo[None, :, 3]
-    oc = o[:, None, :] - c  # [N,S,3]
-    b = 2.0 * jnp.sum(oc * d[:, None, :], axis=-1)
-    cc = jnp.sum(oc * oc, axis=-1) - r * r
+def _sphere_t(geo, o: V3, d: V3):
+    c = _cv3(geo, 0)
+    r = geo[3]
+    oc = o - c
+    b = 2.0 * dotv(oc, d)
+    cc = dotv(oc, oc) - r * r
     disc = b * b - 4.0 * cc
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t1 = (-b - sq) / 2.0
@@ -65,19 +73,18 @@ def _sphere_t(geo, o, d):
     return t, (disc >= 0) & (t > 0)
 
 
-def _triangle_t(geo, o, d):
-    v0 = geo[None, :, 0:3]
-    e1 = geo[None, :, 3:6] - v0
-    e2 = geo[None, :, 6:9] - v0
-    dN = d[:, None, :]
-    p = cross(dN, e2)  # [N,S,3]
-    det = jnp.sum(e1 * p, axis=-1)
+def _triangle_t(geo, o: V3, d: V3):
+    v0 = _cv3(geo, 0)
+    e1 = _cv3(geo, 3) - v0
+    e2 = _cv3(geo, 6) - v0
+    p = crossv(d, e2)
+    det = dotv(e1, p)
     inv = 1.0 / det
-    tvec = o[:, None, :] - v0
-    u = jnp.sum(tvec * p, axis=-1) * inv
-    q = cross(tvec, e1)
-    v = jnp.sum(dN * q, axis=-1) * inv
-    t = jnp.sum(e2 * q, axis=-1) * inv
+    tvec = o - v0
+    u = dotv(tvec, p) * inv
+    q = crossv(tvec, e1)
+    v = dotv(d, q) * inv
+    t = dotv(e2, q) * inv
     valid = (
         (jnp.abs(det) > _TRI_DET_EPS)
         & (u >= 0)
@@ -88,50 +95,58 @@ def _triangle_t(geo, o, d):
     return t, valid
 
 
-def intersect_scene(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+def intersect_scene(scene: Scene, o: V3, d: V3,
                     emit_sentinel: int) -> Hit:
-    """Nearest-hit over all shapes. o, d: f[N, 3].
+    """Nearest-hit over all shapes. o, d: V3 of f[N].
 
     emit_sentinel: index of the zero row in the padded emission table
     (= number of emission params L); assigned to missed rays so downstream
     gathers read zeros without masking.
     """
-    dtype = o.dtype
-    geo = scene.shape_geo.astype(dtype)
-    stype = scene.shape_type[None, :]  # [1,S]
+    dtype = o.x.dtype
+    geo_all = scene.shape_geo.astype(dtype)
+    n_shapes = scene.shape_type.shape[0]
+    n_rays = o.x.shape[0]
 
-    t_pl, v_pl = _plane_t(geo, o, d)
-    t_sp, v_sp = _sphere_t(geo, o, d)
-    t_tr, v_tr = _triangle_t(geo, o, d)
+    best_t = jnp.full(n_rays, jnp.inf, dtype)
+    best_i = jnp.zeros(n_rays, jnp.int32)
+    for i in range(n_shapes):
+        geo = geo_all[i]
+        stype = scene.shape_type[i]
+        t_pl, v_pl = _plane_t(geo, o, d)
+        t_sp, v_sp = _sphere_t(geo, o, d)
+        t_tr, v_tr = _triangle_t(geo, o, d)
+        t = jnp.where(stype == PLANE, t_pl,
+                      jnp.where(stype == SPHERE, t_sp, t_tr))
+        valid = jnp.where(stype == PLANE, v_pl,
+                          jnp.where(stype == SPHERE, v_sp, v_tr))
+        # NaN t (e.g. 0/0 on a degenerate plane ray) compares False,
+        # matching the C++ comparisons (pathtracer.hpp:79); +inf t never
+        # beats the running minimum.
+        closer = valid & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        best_i = jnp.where(closer, i, best_i)
 
-    t = jnp.where(stype == PLANE, t_pl,
-                  jnp.where(stype == SPHERE, t_sp, t_tr))
-    valid = jnp.where(stype == PLANE, v_pl,
-                      jnp.where(stype == SPHERE, v_sp, v_tr))
-    # NaN t (e.g. 0/0 on a degenerate plane ray) compares False above,
-    # matching the C++ comparisons (pathtracer.hpp:79).
-    valid = valid & ~jnp.isnan(t)
-    tt = jnp.where(valid, t, jnp.inf)
+    hit_valid = jnp.isfinite(best_t)
+    # Per-column gathers of hit geometry (each a [N] gather from a tiny
+    # [S] column — no [N, 12] intermediate).
+    def gcol(j):
+        return geo_all[:, j][best_i]
 
-    best = jnp.argmin(tt, axis=1)  # first min -> keep-first ties
-    t_hit = jnp.take_along_axis(tt, best[:, None], axis=1)[:, 0]
-    hit_valid = jnp.isfinite(t_hit)
-
-    hit_geo = scene.shape_geo[best].astype(dtype)  # [N,12]
-    hit_type = scene.shape_type[best]
-    point = o + t_hit[:, None] * d
+    g0 = V3(gcol(0), gcol(1), gcol(2))
+    hit_type = scene.shape_type[best_i]
+    point = o + d * best_t
     # Per-type normals, selected by hit shape type.
-    n_plane = hit_geo[:, 0:3]
-    n_sphere = normalize(point - hit_geo[:, 0:3])
-    tri_e1 = hit_geo[:, 3:6] - hit_geo[:, 0:3]
-    tri_e2 = hit_geo[:, 6:9] - hit_geo[:, 0:3]
-    n_tri = normalize(cross(tri_e1, tri_e2))
-    normal = jnp.where((hit_type == PLANE)[:, None], n_plane,
-                       jnp.where((hit_type == SPHERE)[:, None], n_sphere,
-                                 n_tri))
+    n_plane = g0
+    n_sphere = normalizev(point - g0)
+    tri_e1 = V3(gcol(3), gcol(4), gcol(5)) - g0
+    tri_e2 = V3(gcol(6), gcol(7), gcol(8)) - g0
+    n_tri = normalizev(crossv(tri_e1, tri_e2))
+    normal = wherev(hit_type == PLANE, n_plane,
+                    wherev(hit_type == SPHERE, n_sphere, n_tri))
 
     null_mat = scene.mat_type.shape[0] - 1
-    mat = jnp.where(hit_valid, scene.shape_mat[best], null_mat)
-    emit = jnp.where(hit_valid, scene.shape_emit[best], emit_sentinel)
-    return Hit(t=t_hit, point=point, normal=normal, mat=mat, emit=emit,
+    mat = jnp.where(hit_valid, scene.shape_mat[best_i], null_mat)
+    emit = jnp.where(hit_valid, scene.shape_emit[best_i], emit_sentinel)
+    return Hit(t=best_t, point=point, normal=normal, mat=mat, emit=emit,
                valid=hit_valid)

@@ -60,8 +60,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def constrain_rays(x, mesh: Mesh):
-    """Constrain a [N, ...] per-ray array to be sharded over the mesh."""
-    spec = P(mesh.axis_names, *([None] * (x.ndim - 1)))
+    """Constrain a per-ray array to be sharded over the mesh. The ray axis
+    is the LAST axis (component-first layout, e.g. f[3, N]) or the only
+    axis of a rank-1 array (e.g. pdf f[N])."""
+    spec = P(*([None] * (x.ndim - 1)), mesh.axis_names)
     return lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 

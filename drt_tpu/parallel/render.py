@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from drt_tpu.adjoint import make_diff_renderer
+from drt_tpu.adjoint import make_diff_image_renderer
 from drt_tpu.camera import Camera
 from drt_tpu.config import RenderConfig
 from drt_tpu.parallel.mesh import constrain_rays, replicated
@@ -29,24 +29,6 @@ def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
     With a mesh, per-ray arrays are sharding-constrained over it and params
     are replicated; gradients of the returned function psum over the mesh.
     """
-    if differentiable:
-        diff = make_diff_renderer(scene, cfg)
-
-        def trace_fn(p, o, d, k):
-            if mesh is not None:
-                o = constrain_rays(o, mesh)
-                d = constrain_rays(d, mesh)
-            return diff(p, o, d, jax.random.key_data(k))
-    else:
-        def trace_fn(p, o, d, k):
-            if mesh is not None:
-                o = constrain_rays(o, mesh)
-                d = constrain_rays(d, mesh)
-            return trace_rays(p, scene, o, d, k, cfg)
-
-    def render(params: Params, key) -> jnp.ndarray:
-        return render_image(params, scene, cam, key, cfg, trace_fn=trace_fn)
-
     if mesh is not None:
         n_dev = mesh.devices.size
         n_rays = cfg.width * cfg.height * (cfg.spp // cfg.spp_chunks)
@@ -54,5 +36,28 @@ def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
             raise ValueError(
                 f"rays per chunk ({n_rays}) must divide evenly over the "
                 f"{n_dev}-device mesh; adjust width/height/spp")
+        # Works on bare [N] arrays and V3 pytrees alike.
+        constrain = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: constrain_rays(x, mesh), t)
+    else:
+        constrain = None
+
+    if differentiable:
+        diff = make_diff_image_renderer(scene, cam, cfg,
+                                        constrain=constrain)
+
+        def render(params: Params, key) -> jnp.ndarray:
+            return diff(params, jax.random.key_data(key))
+    else:
+        def trace_fn(p, o, d, k):
+            if constrain is not None:
+                o, d = constrain(o), constrain(d)
+            return trace_rays(p, scene, o, d, k, cfg)
+
+        def render(params: Params, key) -> jnp.ndarray:
+            return render_image(params, scene, cam, key, cfg,
+                                trace_fn=trace_fn)
+
+    if mesh is not None:
         return jax.jit(render, in_shardings=(replicated(mesh), None))
     return jax.jit(render)

@@ -39,7 +39,7 @@ from drt_tpu.config import RenderConfig
 from drt_tpu.constants import RAY_EPS
 from drt_tpu.ops.bxdf import eval_scale, sample_bxdf
 from drt_tpu.ops.intersect import intersect_scene
-from drt_tpu.ops.vecmath import dot
+from drt_tpu.ops.vecmath import V3, dotv, gatherv, wherev
 from drt_tpu.scene import Params, Scene, albedo_table, emission_table
 
 # Key salts (arbitrary distinct constants) for independent streams.
@@ -48,9 +48,11 @@ BWD_SALT = 0x0ADD
 
 
 class BounceResiduals(NamedTuple):
-    """Per-bounce values stacked over depth, consumed by the adjoint."""
+    """Per-bounce values stacked over depth, consumed by the adjoint.
+    Scalarized SoA: P is a V3 of f[D, N] arrays, so every stacked buffer
+    is rank-2 with the huge ray axis minor (padding-free TPU layout)."""
 
-    P: jnp.ndarray  # f[D, N, 3] emission weight (gated throughput prefix)
+    P: V3  # V3 of f[D, N]: emission weight (gated throughput prefix)
     sc: jnp.ndarray  # f[D, N] scalar factor s*cos/pdf so w = albedo[aid]*sc
     gate: jnp.ndarray  # f[D, N] RR/liveness gate at this bounce
     aid: jnp.ndarray  # i32[D, N] albedo row of this bounce's material
@@ -68,46 +70,47 @@ def _bounce(params_tabs, scene: Scene, cfg: RenderConfig, carry, b, u):
     gradients still flow through the continued path.
     """
     albedo_tab, emission_tab = params_tabs
-    o, d, T, L, alive = carry
+    o, d, T, L, alive = carry  # o, d, T, L: V3 of f[N]
     n_emit = emission_tab.shape[0] - 1  # sentinel (zero) row index
+    u_rr, u1, u2 = u
 
     # Russian roulette at path vertex depth b (reference: pathtracer.hpp:
     # 128-133): absorb with prob `absorb` once depth >= min_bounces;
     # survivors are compensated by 1/(1 - absorb).
     do_rr = b >= cfg.min_bounces
-    absorbed = do_rr & (u[:, 0] < cfg.absorb_prob)
+    absorbed = do_rr & (u_rr < cfg.absorb_prob)
     rr_scale = jnp.where(do_rr, 1.0 / (1.0 - cfg.absorb_prob), 1.0)
     alive = alive & ~absorbed
 
     # Nearest hit (reference: pathtracer.hpp:72-89).
     hit = intersect_scene(scene, o, d, emit_sentinel=n_emit)
     alive = alive & hit.valid
-    gate = jnp.where(alive, rr_scale, 0.0).astype(T.dtype)
+    gate = jnp.where(alive, rr_scale, 0.0).astype(u1.dtype)
 
     # Emission contribution at this vertex (reference: pathtracer.hpp:
     # 113-114); the RR divide applies to emission too (pathtracer.hpp:133).
-    P = T * gate[:, None]  # gate=0 masks dead rays; T is NaN-free
-    e = emission_tab[hit.emit]
+    P = T * gate  # gate=0 masks dead rays; T is NaN-free
+    e = gatherv(emission_tab, hit.emit)
     L = L + P * e
 
     # BxDF sample + eval (reference: pathtracer.hpp:91-111). dir_in is the
     # negated incoming ray direction (pathtracer.hpp:100-101, 106-109).
     mt = scene.mat_type[hit.mat]
-    mex = scene.mat_exponent[hit.mat].astype(T.dtype)
+    mex = scene.mat_exponent[hit.mat].astype(u1.dtype)
     aid = scene.mat_albedo[hit.mat]
     d_in = -d
-    dir_out, pdf = sample_bxdf(mt, mex, hit.normal, d_in, u[:, 1], u[:, 2])
+    dir_out, pdf = sample_bxdf(mt, mex, hit.normal, d_in, u1, u2)
     s = eval_scale(mt, mex, hit.normal, d_in, dir_out)
-    cos_t = dot(hit.normal, dir_out)  # raw normal dot (pathtracer.hpp:103)
+    cos_t = dotv(hit.normal, dir_out)  # raw normal dot (pathtracer.hpp:103)
     # Sanitize the scalar factor for dead rays (their hit data is garbage
     # — inf/NaN from the miss) so NaN never enters throughput or, via
     # 0 * NaN, reverse-mode cotangents.
     sc = jnp.where(alive, s * cos_t / pdf, 0.0)
-    a = albedo_tab[aid]
-    T_next = P * (a * sc[:, None])
+    a = gatherv(albedo_tab, aid)
+    T_next = P * (a * sc)
 
-    o_next = jnp.where(alive[:, None], hit.point + RAY_EPS * dir_out, 0.0)
-    d_next = jnp.where(alive[:, None], dir_out, 0.0)
+    o_next = wherev(alive, hit.point + dir_out * RAY_EPS, 0.0)
+    d_next = wherev(alive, dir_out, 0.0)
 
     new_carry = (o_next, d_next, T_next, L, alive)
     res = (P, sc, gate, aid, hit.emit)
@@ -123,31 +126,34 @@ def trace_rays(params: Params, scene: Scene, orig: jnp.ndarray,
     Args:
       params: differentiable shading parameters.
       scene: static scene arrays.
-      orig, dir: f[N, 3] primary rays.
+      orig, dir: V3 of f[N] primary rays (scalarized SoA).
       key: PRNG key for per-bounce sampling (ignored if `tape` given).
       cfg: static config (max_depth, min_bounces, absorb_prob, ...).
-      tape: optional f[max_depth, N, 3] injected uniforms with slot layout
+      tape: optional f[max_depth, 3, N] injected uniforms with slot layout
         (rr, u1, u2) per bounce — the sample-injection parity harness.
       collect: also return per-bounce `BounceResiduals` for the adjoint.
 
-    Returns radiance f[N, 3], or (radiance, BounceResiduals).
+    Returns radiance as a V3 of f[N], or (radiance, BounceResiduals).
     """
-    dtype = orig.dtype
-    n = orig.shape[0]
+    dtype = orig.x.dtype
+    n = orig.x.shape[0]
     albedo_tab = albedo_table(scene, params).astype(dtype)
     emission_tab = emission_table(scene, params).astype(dtype)
 
-    T0 = jnp.ones((n, 3), dtype)
-    L0 = jnp.zeros((n, 3), dtype)
+    one = jnp.ones(n, dtype)
+    zero = jnp.zeros(n, dtype)
+    T0 = V3(one, one, one)
+    L0 = V3(zero, zero, zero)
     alive0 = jnp.ones((n,), bool)
 
     def body(carry, xb):
         b = xb[0] if tape is not None else xb
         if tape is not None:
-            u = xb[1]
+            u = (xb[1][0], xb[1][1], xb[1][2])
         else:
-            u = jax.random.uniform(jax.random.fold_in(key, b), (n, 3),
-                                   dtype=dtype)
+            u3 = jax.random.uniform(jax.random.fold_in(key, b), (3, n),
+                                    dtype=dtype)
+            u = (u3[0], u3[1], u3[2])
         return _bounce((albedo_tab, emission_tab), scene, cfg, carry, b, u)
 
     bounces = jnp.arange(cfg.max_depth)
@@ -160,23 +166,42 @@ def trace_rays(params: Params, scene: Scene, orig: jnp.ndarray,
     return L
 
 
+def chunk_pixel_ids(cfg: RenderConfig) -> jnp.ndarray:
+    """i32[N_c, 2] pixel coordinates for one spp chunk (spp-major within a
+    pixel, pixels in the reference's raster order)."""
+    assert cfg.spp % cfg.spp_chunks == 0
+    spp_c = cfg.spp // cfg.spp_chunks
+    return jnp.repeat(pixel_grid(cfg.width, cfg.height), spp_c, axis=0)
+
+
+def chunk_rays(cam: Camera, cfg: RenderConfig, xy_rep: jnp.ndarray,
+               chunk_key):
+    """Primary rays for one spp chunk (deterministic in chunk_key)."""
+    n = xy_rep.shape[0]
+    cam_u = jax.random.uniform(
+        jax.random.fold_in(chunk_key, CAMERA_SALT), (n, 2),
+        dtype=cam.forward.dtype)
+    return camera_rays(cam, cfg.width, cfg.height, xy_rep, cam_u)
+
+
 def render_image(params: Params, scene: Scene, cam: Camera, key,
                  cfg: RenderConfig, trace_fn=None) -> jnp.ndarray:
     """Render an image: mean over spp of per-sample radiance / camera pdf
     (reference main loop: src/render.cpp:72-87; camera pdf is 1).
 
     trace_fn: optional replacement for `trace_rays(params, orig, dir, key)`
-    — e.g. the custom_vjp radiative-backprop renderer from
-    `make_diff_renderer` — with signature (params, orig, dir, key) -> f[N,3].
-    Memory is bounded by rendering `cfg.spp_chunks` sample chunks
-    sequentially under `lax.map`.
+    — with signature (params, orig, dir, key) -> f[N,3]. Memory is bounded
+    by rendering `cfg.spp_chunks` sample chunks sequentially under
+    `lax.map`.
+
+    NOTE: do not differentiate through this function when spp_chunks > 1 —
+    reverse-mode AD through the chunk loop stacks per-chunk residuals and
+    defeats the chunking. Use `drt_tpu.adjoint.make_diff_image_renderer`,
+    which keeps the chunk loop inside the custom VJP.
     """
     w, h = cfg.width, cfg.height
-    assert cfg.spp % cfg.spp_chunks == 0
     spp_c = cfg.spp // cfg.spp_chunks
-    xy = pixel_grid(w, h)  # [H*W, 2]
-    xy_rep = jnp.repeat(xy, spp_c, axis=0)  # [H*W*spp_c, 2]
-    n = xy_rep.shape[0]
+    xy_rep = chunk_pixel_ids(cfg)
 
     if trace_fn is None:
         def trace_fn(p, o, d, k):
@@ -184,13 +209,10 @@ def render_image(params: Params, scene: Scene, cam: Camera, key,
 
     def render_chunk(chunk_idx):
         ck = jax.random.fold_in(key, chunk_idx)
-        cam_u = jax.random.uniform(
-            jax.random.fold_in(ck, CAMERA_SALT), (n, 2),
-            dtype=cam.forward.dtype)
-        o, d, pdf = camera_rays(cam, w, h, xy_rep, cam_u)
-        radiance = trace_fn(params, o, d, ck)
-        radiance = radiance / pdf[:, None]
-        return radiance.reshape(h, w, spp_c, 3).mean(axis=2)
+        o, d, pdf = chunk_rays(cam, cfg, xy_rep, ck)
+        radiance = trace_fn(params, o, d, ck) / pdf  # V3 of f[N]
+        chans = [c.reshape(h, w, spp_c).mean(axis=2) for c in radiance]
+        return jnp.stack(chans, axis=-1)
 
     if cfg.spp_chunks == 1:
         return render_chunk(jnp.asarray(0))

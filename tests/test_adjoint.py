@@ -20,6 +20,11 @@ from drt_tpu.models import cbox
 from drt_tpu.renderer import trace_rays
 from drt_tpu.scene import Params
 import reference_impl as ref
+from drt_tpu.ops.vecmath import V3
+
+
+def vsum(v):
+    return v.x.sum() + v.y.sum() + v.z.sum()
 
 
 def _setup(width=8, height=6, spp=4, max_depth=12, seed=0,
@@ -32,7 +37,8 @@ def _setup(width=8, height=6, spp=4, max_depth=12, seed=0,
     xy = jnp.repeat(pixel_grid(width, height), spp, axis=0)
     o, d, _ = camera_rays(cam, width, height, xy,
                           jnp.asarray(tape.cam_u, dtype))
-    return scene, params, cfg, o, d, jnp.asarray(tape.bounce_u, dtype)
+    tape3 = jnp.asarray(tape.bounce_u.transpose(0, 2, 1), dtype)
+    return scene, params, cfg, o, d, tape3
 
 
 def test_custom_vjp_equals_jax_grad_tape():
@@ -40,10 +46,10 @@ def test_custom_vjp_equals_jax_grad_tape():
     diff = make_diff_renderer(scene, cfg, use_tape=True)
 
     def loss_custom(p):
-        return diff(p, o, d, tape).sum()
+        return vsum(diff(p, o, d, tape))
 
     def loss_ad(p):
-        return trace_rays(p, scene, o, d, None, cfg, tape=tape).sum()
+        return vsum(trace_rays(p, scene, o, d, None, cfg, tape=tape))
 
     g_custom = jax.grad(loss_custom)(params)
     g_ad = jax.grad(loss_ad)(params)
@@ -61,10 +67,10 @@ def test_custom_vjp_equals_jax_grad_key_mode():
     diff = make_diff_renderer(scene, cfg)
 
     def loss_custom(p):
-        return diff(p, o, d, rng).sum()
+        return vsum(diff(p, o, d, rng))
 
     def loss_ad(p):
-        return trace_rays(p, scene, o, d, key, cfg).sum()
+        return vsum(trace_rays(p, scene, o, d, key, cfg))
 
     g_custom = jax.grad(loss_custom)(params)
     g_ad = jax.grad(loss_ad)(params)
@@ -77,7 +83,7 @@ def test_finite_differences_tape():
     diff = make_diff_renderer(scene, cfg, use_tape=True)
 
     def loss(p):
-        return diff(p, o, d, tape).sum()
+        return vsum(diff(p, o, d, tape))
 
     g = jax.grad(loss)(params)
     eps = 1e-6
@@ -98,19 +104,52 @@ def test_per_ray_cotangents():
     weighted combination of per-ray gradients."""
     scene, params, cfg, o, d, tape = _setup(width=4, height=3, spp=2)
     diff = make_diff_renderer(scene, cfg, use_tape=True)
-    w = jnp.asarray(
-        np.random.default_rng(5).normal(size=(o.shape[0], 3)))
+    w = V3.from_array(jnp.asarray(
+        np.random.default_rng(5).normal(size=(o.x.shape[0], 3))))
 
     def loss_custom(p):
-        return (diff(p, o, d, tape) * w).sum()
+        return vsum(diff(p, o, d, tape) * w)
 
     def loss_ad(p):
-        return (trace_rays(p, scene, o, d, None, cfg, tape=tape) * w).sum()
+        return vsum(trace_rays(p, scene, o, d, None, cfg, tape=tape) * w)
 
     g_custom = jax.grad(loss_custom)(params)
     g_ad = jax.grad(loss_ad)(params)
     np.testing.assert_allclose(g_custom.albedo, g_ad.albedo, rtol=1e-10)
     np.testing.assert_allclose(g_custom.emission, g_ad.emission, rtol=1e-10)
+
+
+def test_image_renderer_grads_match_jax_grad():
+    """The chunked image-level custom VJP (chunk loop inside the VJP) must
+    equal jax.grad of the unchunked forward render on the same keys."""
+    import dataclasses
+    from drt_tpu.adjoint import make_diff_image_renderer
+    from drt_tpu.renderer import render_image
+    from drt_tpu.models import cbox as cbox_m
+
+    scene, params, cam = cbox_m.build(dtype=jnp.float64)
+    cfg1 = RenderConfig(width=8, height=6, spp=4, max_depth=8, spp_chunks=1)
+    cfg4 = dataclasses.replace(cfg1, spp_chunks=4)
+    key = jax.random.key(11)
+    rng = jax.random.key_data(key)
+    w = jnp.asarray(np.random.default_rng(3).normal(size=(6, 8, 3)))
+
+    for cfg in (cfg1, cfg4):
+        diff = make_diff_image_renderer(scene, cam, cfg)
+
+        def loss_custom(p):
+            return (diff(p, rng) * w).sum()
+
+        def loss_ad(p):
+            return (render_image(p, scene, cam, key, cfg) * w).sum()
+
+        img_c = diff(params, rng)
+        img_a = render_image(params, scene, cam, key, cfg)
+        np.testing.assert_allclose(img_c, img_a, rtol=1e-12)
+        g_c = jax.grad(loss_custom)(params)
+        g_a = jax.grad(loss_ad)(params)
+        np.testing.assert_allclose(g_c.albedo, g_a.albedo, rtol=1e-9)
+        np.testing.assert_allclose(g_c.emission, g_a.emission, rtol=1e-9)
 
 
 def test_unbiased_mode_agrees_in_expectation():
@@ -125,7 +164,7 @@ def test_unbiased_mode_agrees_in_expectation():
 
     def g_of(diff, seed):
         rng = jax.random.key_data(jax.random.key(seed))
-        return jax.grad(lambda p: diff(p, o, d, rng).sum())(params)
+        return jax.grad(lambda p: vsum(diff(p, o, d, rng)))(params)
 
     n_trials = 60
     gu = [g_of(diff_u, s) for s in range(n_trials)]

@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import reference_impl as ref
 from drt_tpu.ops import bxdf as jb
 from drt_tpu.scene import DIFFUSE, SPECULAR, MIRROR, NULL_BXDF
+from drt_tpu.ops.vecmath import V3
 
 
 def _rand_normals(n, seed, unnormalized=False):
@@ -17,7 +18,8 @@ def _rand_normals(n, seed, unnormalized=False):
 
 def test_make_frame_matches_mirror():
     normals = _rand_normals(64, 11, unnormalized=True)
-    t, b, nn = jb.make_frame(jnp.asarray(normals))
+    t, b, nn = jb.make_frame(V3.from_array(jnp.asarray(normals)))
+    t, b, nn = (np.asarray(v.to_array()) for v in (t, b, nn))
     for i in range(64):
         mt, mb, mn = ref.make_frame(normals[i])
         np.testing.assert_allclose(t[i], mt, rtol=1e-12, atol=1e-15)
@@ -36,15 +38,16 @@ def test_diffuse_sample_and_eval_match_mirror():
 
     mt = jnp.full(n, DIFFUSE, jnp.int32)
     mex = jnp.zeros(n)
-    dirs, pdf = jb.sample_bxdf(mt, mex, jnp.asarray(normals),
-                               jnp.asarray(d_in), jnp.asarray(u1),
-                               jnp.asarray(u2))
-    s = jb.eval_scale(mt, mex, jnp.asarray(normals), jnp.asarray(d_in),
-                      dirs)
+    dirs, pdf = jb.sample_bxdf(mt, mex, V3.from_array(jnp.asarray(normals)),
+                               V3.from_array(jnp.asarray(d_in)),
+                               jnp.asarray(u1), jnp.asarray(u2))
+    s = jb.eval_scale(mt, mex, V3.from_array(jnp.asarray(normals)),
+                      V3.from_array(jnp.asarray(d_in)), dirs)
+    dirs_a = np.asarray(dirs.to_array())
     for i in range(n):
         draws = iter([u1[i], u2[i]])
         md, mpdf = mat.sample(normals[i], d_in[i], lambda _: next(draws))
-        np.testing.assert_allclose(dirs[i], md, rtol=1e-12, atol=1e-15)
+        np.testing.assert_allclose(dirs_a[i], md, rtol=1e-12, atol=1e-15)
         np.testing.assert_allclose(pdf[i], mpdf, rtol=1e-12)
         me = mat.eval(normals[i], d_in[i], md)
         np.testing.assert_allclose(np.asarray(s[i]) * mat.color, me,
@@ -66,14 +69,16 @@ def test_specular_sample_and_eval_match_mirror():
 
     mt = jnp.full(n, SPECULAR, jnp.int32)
     mex = jnp.full(n, exp)
-    dirs, pdf = jb.sample_bxdf(mt, mex, jnp.asarray(normals),
-                               jnp.asarray(d_in), jnp.asarray(u1),
-                               jnp.asarray(u2))
-    s = jb.eval_scale(mt, mex, jnp.asarray(normals), jnp.asarray(d_in), dirs)
+    dirs, pdf = jb.sample_bxdf(mt, mex, V3.from_array(jnp.asarray(normals)),
+                               V3.from_array(jnp.asarray(d_in)),
+                               jnp.asarray(u1), jnp.asarray(u2))
+    s = jb.eval_scale(mt, mex, V3.from_array(jnp.asarray(normals)),
+                      V3.from_array(jnp.asarray(d_in)), dirs)
+    dirs_a = np.asarray(dirs.to_array())
     for i in range(n):
         draws = iter([u1[i], u2[i]])
         md, mpdf = mat.sample(normals[i], d_in[i], lambda _: next(draws))
-        np.testing.assert_allclose(dirs[i], md, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(dirs_a[i], md, rtol=1e-10, atol=1e-12)
         np.testing.assert_allclose(pdf[i], mpdf, rtol=1e-10)
         me = mat.eval(normals[i], d_in[i], md)
         np.testing.assert_allclose(np.asarray(s[i]) * mat.color, me,
@@ -81,15 +86,17 @@ def test_specular_sample_and_eval_match_mirror():
 
 
 def test_mirror_and_null():
-    normals = jnp.asarray([[0.0, 1.0, 0.0]] * 2)
-    d_in = jnp.asarray([[1.0, 1.0, 0.0]] * 2) / np.sqrt(2)
+    normals = V3.from_array(jnp.asarray([[0.0, 1.0, 0.0]] * 2))
+    d_in = V3.from_array(jnp.asarray([[1.0, 1.0, 0.0]] * 2) / np.sqrt(2))
     mt = jnp.asarray([MIRROR, NULL_BXDF], jnp.int32)
     mex = jnp.zeros(2)
     u = jnp.asarray([0.3, 0.7])
     dirs, pdf = jb.sample_bxdf(mt, mex, normals, d_in, u, u)
-    np.testing.assert_allclose(dirs[0], [-1 / np.sqrt(2), 1 / np.sqrt(2), 0.0])
+    dirs_a = np.asarray(dirs.to_array())
+    np.testing.assert_allclose(dirs_a[0],
+                               [-1 / np.sqrt(2), 1 / np.sqrt(2), 0.0])
     np.testing.assert_allclose(pdf, [1.0, 1.0])
-    np.testing.assert_allclose(dirs[1], 0.0)  # null fallback
+    np.testing.assert_allclose(dirs_a[1], 0.0)  # null fallback
     s = jb.eval_scale(mt, mex, normals, d_in, dirs)
     np.testing.assert_allclose(s[0], np.sqrt(2.0), rtol=1e-12)
     assert s[1] == 0.0
@@ -101,11 +108,12 @@ def test_diffuse_pdf_integrates_to_one():
     integral of cos/pi = 1."""
     n = 200_000
     rng = np.random.default_rng(8)
-    normal = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    z = jnp.zeros(n)
+    normal = V3(z, z, jnp.ones(n))
     mt = jnp.full(n, DIFFUSE, jnp.int32)
     dirs, pdf = jb.sample_bxdf(mt, jnp.zeros(n), normal, normal,
                                jnp.asarray(rng.random(n)),
                                jnp.asarray(rng.random(n)))
-    cos = np.asarray(dirs)[:, 2]
+    cos = np.asarray(dirs.z)
     est = np.mean(cos / np.pi / np.asarray(pdf))  # integral of cos/pi dw = 1
     np.testing.assert_allclose(est, 1.0, rtol=1e-2)

@@ -32,8 +32,8 @@ def test_rays_match_mirror():
     cam = look_at([0, 0, 0], [0, 0, 1], dtype=jnp.float64)
     xy = pixel_grid(w, h)
     o, d, pdf = camera_rays(cam, w, h, xy, jnp.asarray(tape.cam_u))
-    np.testing.assert_allclose(np.asarray(d), dirs, rtol=1e-13)
-    np.testing.assert_allclose(np.asarray(o), 0.0)
+    np.testing.assert_allclose(np.asarray(d.to_array()), dirs, rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(o.to_array()), 0.0)
     np.testing.assert_allclose(np.asarray(pdf), 1.0)
 
 
@@ -42,6 +42,6 @@ def test_t_axis_points_down():
     cam = look_at([0, 0, 0], [0, 0, 1], dtype=jnp.float64)
     xy = jnp.asarray([[3, 0], [3, 7]], dtype=jnp.int32)
     u = jnp.full((2, 2), 0.5)
-    _, d, _ = camera_rays(cam, 8, 8, xy, u)
-    assert d[0, 1] > 0  # top row looks up (+y)
-    assert d[1, 1] < 0
+    _, d, _ = camera_rays(cam, 8, 8, xy, u)  # d: V3 of f[N]
+    assert d.y[0] > 0  # top row looks up (+y)
+    assert d.y[1] < 0

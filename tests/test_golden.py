@@ -53,10 +53,11 @@ def test_wavefront_matches_cpp_image(golden, mirror):
     cfg = RenderConfig(width=W, height=H, spp=SPP, max_depth=DEPTH)
     xy = jnp.repeat(pixel_grid(W, H), SPP, axis=0)
     o, d, pdf = camera_rays(cam, W, H, xy, jnp.asarray(tape.cam_u))
-    radiance = trace_rays(params, scene, o, d, None, cfg,
-                          tape=jnp.asarray(tape.bounce_u))
-    img = (np.asarray(radiance) / np.asarray(pdf)[:, None]).reshape(
-        H, W, SPP, 3).mean(axis=2)
+    radiance = trace_rays(
+        params, scene, o, d, None, cfg,
+        tape=jnp.asarray(tape.bounce_u.transpose(0, 2, 1)))
+    img = (np.asarray(radiance.to_array())
+           / np.asarray(pdf)[:, None]).reshape(H, W, SPP, 3).mean(axis=2)
     # Truncation tail at depth 32, absorb 0.5 is ~2^-31: exact in practice.
     np.testing.assert_allclose(img, golden["image"], rtol=1e-9, atol=1e-12)
 
@@ -72,8 +73,10 @@ def test_wavefront_grads_match_cpp_autodiff(golden, mirror):
     xy = jnp.repeat(pixel_grid(W, H), SPP, axis=0)
     o, d, _ = camera_rays(cam, W, H, xy, jnp.asarray(tape.cam_u))
     diff = make_diff_renderer(scene, cfg, use_tape=True)
-    tp = jnp.asarray(tape.bounce_u)
-    g = jax.grad(lambda p: diff(p, o, d, tp).sum())(params)
+    tp = jnp.asarray(tape.bounce_u.transpose(0, 2, 1))
+    def vsum(v):
+        return v.x.sum() + v.y.sum() + v.z.sum()
+    g = jax.grad(lambda p: vsum(diff(p, o, d, tp)))(params)
     # albedo rows: red, green, white  (golden rows 0,1,2); emission row 3.
     np.testing.assert_allclose(np.asarray(g.albedo), golden["grads"][:3],
                                rtol=1e-9, atol=1e-12)

@@ -4,6 +4,7 @@ import jax.numpy as jnp
 from drt_tpu.ops.intersect import intersect_scene
 from drt_tpu.scene import SceneBuilder
 from drt_tpu.models import cbox
+from drt_tpu.ops.vecmath import V3
 from reference_impl import build_cbox, MirrorTracer
 
 
@@ -16,8 +17,11 @@ def test_cbox_nearest_hit_matches_mirror():
     d = rng.normal(size=(n, 3))
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
 
-    hit = intersect_scene(scene, jnp.asarray(o), jnp.asarray(d),
+    hit = intersect_scene(scene, V3.from_array(jnp.asarray(o)),
+                          V3.from_array(jnp.asarray(d)),
                           emit_sentinel=params.emission.shape[0])
+    pts = np.asarray(hit.point.to_array())
+    nrm = np.asarray(hit.normal.to_array())
     for i in range(n):
         mh = mirror.raycast(o[i], d[i])
         if mh is None:
@@ -25,8 +29,8 @@ def test_cbox_nearest_hit_matches_mirror():
             continue
         point, normal, shape = mh
         assert bool(hit.valid[i])
-        np.testing.assert_allclose(hit.point[i], point, rtol=1e-10, atol=1e-12)
-        np.testing.assert_allclose(hit.normal[i], normal, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(pts[i], point, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(nrm[i], normal, rtol=1e-10, atol=1e-12)
 
 
 def test_sphere_inside_outside():
@@ -34,8 +38,9 @@ def test_sphere_inside_outside():
     m = b.diffuse(b.albedo_param([1, 1, 1]))
     b.sphere([0.0, 0.0, 5.0], 1.0, m)
     scene, params = b.build(jnp.float64)
-    o = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 5.0], [0.0, 0.0, 10.0]])
-    d = jnp.asarray([[0.0, 0.0, 1.0]] * 3)
+    o = V3.from_array(jnp.asarray(
+        [[0.0, 0.0, 0.0], [0.0, 0.0, 5.0], [0.0, 0.0, 10.0]]))
+    d = V3.from_array(jnp.asarray([[0.0, 0.0, 1.0]] * 3))
     hit = intersect_scene(scene, o, d, emit_sentinel=0)
     np.testing.assert_allclose(hit.t, [4.0, 1.0, np.inf])
     assert list(map(bool, hit.valid)) == [True, True, False]
@@ -46,13 +51,14 @@ def test_triangle_moller_trumbore():
     m = b.diffuse(b.albedo_param([1, 1, 1]))
     b.triangle([0, 0, 2], [2, 0, 2], [0, 2, 2], m)
     scene, params = b.build(jnp.float64)
-    o = jnp.zeros((4, 3)).at[:, 0:2].set(
-        jnp.asarray([[0.5, 0.5], [1.5, 1.5], [-0.1, 0.5], [0.0, 0.0]]))
-    d = jnp.asarray([[0.0, 0.0, 1.0]] * 4)
+    o = V3.from_array(jnp.zeros((4, 3)).at[:, 0:2].set(
+        jnp.asarray([[0.5, 0.5], [1.5, 1.5], [-0.1, 0.5], [0.0, 0.0]])))
+    d = V3.from_array(jnp.asarray([[0.0, 0.0, 1.0]] * 4))
     hit = intersect_scene(scene, o, d, emit_sentinel=0)
     assert list(map(bool, hit.valid)) == [True, False, False, True]
     np.testing.assert_allclose(hit.t[0], 2.0)
-    np.testing.assert_allclose(np.abs(hit.normal[0]), [0, 0, 1], atol=1e-15)
+    np.testing.assert_allclose(np.abs(hit.normal.to_array()[0]), [0, 0, 1],
+                               atol=1e-15)
 
 
 def test_keep_first_tie():
@@ -64,6 +70,7 @@ def test_keep_first_tie():
     b.sphere([0.0, 0.0, 5.0], 1.0, m1)
     b.sphere([0.0, 0.0, 5.0], 1.0, m2)
     scene, params = b.build(jnp.float64)
-    hit = intersect_scene(scene, jnp.zeros((1, 3)),
-                          jnp.asarray([[0.0, 0.0, 1.0]]), emit_sentinel=0)
+    hit = intersect_scene(scene, V3.from_array(jnp.zeros((1, 3))),
+                          V3.from_array(jnp.asarray([[0.0, 0.0, 1.0]])),
+                          emit_sentinel=0)
     assert int(hit.mat[0]) == 0

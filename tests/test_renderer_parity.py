@@ -30,9 +30,11 @@ def _run_parity(width, height, spp, max_depth, min_bounces, absorb, seed,
     xy = jnp.repeat(pixel_grid(width, height), spp, axis=0)
     o, d, pdf = camera_rays(cam, width, height, xy,
                             jnp.asarray(tape.cam_u, dtype))
-    radiance = trace_rays(params, scene, o, d, None, cfg,
-                          tape=jnp.asarray(tape.bounce_u, dtype))
-    radiance = np.asarray(radiance) / np.asarray(pdf)[:, None]
+    radiance = trace_rays(
+        params, scene, o, d, None, cfg,
+        tape=jnp.asarray(tape.bounce_u.transpose(0, 2, 1), dtype))
+    radiance = (np.asarray(radiance.to_array())
+                / np.asarray(pdf)[:, None])
     np.testing.assert_allclose(radiance, trunc, rtol=rtol, atol=atol)
     return radiance, full, trunc
 
