@@ -5,6 +5,11 @@ backprop, Cornell box at 256 spp. A "ray" here is a camera path sample
 (W*H*spp); the wavefront additionally traces up to `max_depth` bounce
 segments per sample on both the forward and the adjoint retrace.
 
+Production path: the fused Pallas megakernel pipeline (drt_tpu/fused.py —
+camera generation, PRNG, and the whole bounce loop in one kernel per spp
+chunk, one kernel per chunk for the adjoint). The XLA wavefront path is
+also measured and reported in `detail` as a cross-check.
+
 vs_baseline: ratio against the reference C++ renderer (single thread, -O3,
 the hardware the reference targets) measured on this machine via the golden
 harness in fwd+bwd mode (per-sample backward through its autodiff tape,
@@ -20,8 +25,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
 WIDTH, HEIGHT, SPP = 640, 480, 256
 MAX_DEPTH = 5  # BASELINE.json config 2: "full path tracing, depth-5, 256 spp"
 MIN_BOUNCES = 1
@@ -31,10 +34,12 @@ BASELINE_SPP = 2  # reference measured at reduced spp, scaled linearly
 
 def measure_ours() -> dict:
     import jax
+
     import jax.numpy as jnp
 
     from drt_tpu.adjoint import make_diff_image_renderer
     from drt_tpu.config import RenderConfig
+    from drt_tpu.fused import make_fused_image_renderer, seeds_from_key
     from drt_tpu.models import cbox
     from drt_tpu.renderer import render_image
 
@@ -42,17 +47,7 @@ def measure_ours() -> dict:
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, spp=SPP,
                        min_bounces=MIN_BOUNCES, absorb_prob=ABSORB,
                        max_depth=MAX_DEPTH, spp_chunks=16)
-    diff = make_diff_image_renderer(scene, cam, cfg)
-
-    @jax.jit
-    def fwd(p, key):
-        return render_image(p, scene, cam, key, cfg)
-
-    @jax.jit
-    def fwdbwd(p, key):
-        def loss(pp):
-            return diff(pp, jax.random.key_data(key)).sum()
-        return jax.value_and_grad(loss)(p)
+    on_tpu = jax.default_backend() == "tpu"
 
     n_rays = WIDTH * HEIGHT * SPP
 
@@ -65,14 +60,54 @@ def measure_ours() -> dict:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_fwd = time_best(fwd, params, jax.random.key(0))
-    t_fwdbwd = time_best(fwdbwd, params, jax.random.key(0))
-    return {
-        "fwd_mrays_s": n_rays / t_fwd / 1e6,
-        "fwdbwd_mrays_s": n_rays / t_fwdbwd / 1e6,
-        "t_fwd_s": t_fwd,
-        "t_fwdbwd_s": t_fwdbwd,
+    # --- XLA wavefront path (cross-check; also the CPU fallback) ---------
+    diff_xla = make_diff_image_renderer(scene, cam, cfg)
+
+    @jax.jit
+    def fwd_xla(p, key):
+        return render_image(p, scene, cam, key, cfg)
+
+    @jax.jit
+    def fwdbwd_xla(p, key):
+        def loss(pp):
+            return diff_xla(pp, jax.random.key_data(key)).sum()
+        return jax.value_and_grad(loss)(p)
+
+    t_fwd_xla = time_best(fwd_xla, params, jax.random.key(0))
+    t_fwdbwd_xla = time_best(fwdbwd_xla, params, jax.random.key(0))
+
+    out = {
+        "xla_fwd_mrays_s": n_rays / t_fwd_xla / 1e6,
+        "xla_fwdbwd_mrays_s": n_rays / t_fwdbwd_xla / 1e6,
     }
+
+    # --- fused Pallas megakernel path (TPU production) -------------------
+    if on_tpu:
+        render = make_fused_image_renderer(scene, cam, cfg)
+        seeds = seeds_from_key(jax.random.key(0))
+
+        @jax.jit
+        def fwd_fused(p, s):
+            return render(p, s)
+
+        @jax.jit
+        def fwdbwd_fused(p, s):
+            def loss(pp):
+                return render(pp, s).sum()
+            return jax.value_and_grad(loss)(p)
+
+        t_fwd = time_best(fwd_fused, params, seeds)
+        t_fwdbwd = time_best(fwdbwd_fused, params, seeds)
+        out["fwd_mrays_s"] = n_rays / t_fwd / 1e6
+        out["fwdbwd_mrays_s"] = n_rays / t_fwdbwd / 1e6
+        out["t_fwd_s"] = t_fwd
+        out["t_fwdbwd_s"] = t_fwdbwd
+    else:
+        out["fwd_mrays_s"] = out["xla_fwd_mrays_s"]
+        out["fwdbwd_mrays_s"] = out["xla_fwdbwd_mrays_s"]
+        out["t_fwd_s"] = t_fwd_xla
+        out["t_fwdbwd_s"] = t_fwdbwd_xla
+    return out
 
 
 def measure_reference() -> float | None:
@@ -105,6 +140,8 @@ def main() -> None:
             "fwd_mrays_s": round(ours["fwd_mrays_s"], 3),
             "t_fwd_s": round(ours["t_fwd_s"], 4),
             "t_fwdbwd_s": round(ours["t_fwdbwd_s"], 4),
+            "xla_fwd_mrays_s": round(ours["xla_fwd_mrays_s"], 3),
+            "xla_fwdbwd_mrays_s": round(ours["xla_fwdbwd_mrays_s"], 3),
             "reference_fwdbwd_mrays_s": round(ref, 4) if ref else None,
         },
     }))

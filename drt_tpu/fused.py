@@ -1,0 +1,112 @@
+"""Image-level differentiable renderer over the fused Pallas megakernels.
+
+Composes drt_tpu/ops/megakernel.py's fully-fused tracer/adjoint (camera
+generation + PRNG + wavefront loop in one kernel) into
+`render(params, seeds) -> image`, differentiable in params via the
+radiative-backprop custom VJP. The forward stores only (params, seeds):
+the backward re-seeds the in-kernel PRNG, regenerates the primary rays,
+retraces, and produces parameter gradients in ONE kernel pass per spp
+chunk — the TPU-production counterpart of
+drt_tpu/adjoint.py:make_diff_image_renderer (reference semantics:
+include/drt/integrate.hpp:11-52 radiative backprop; biased mode replays
+the forward's sample streams, unbiased mode redraws the bounce stream
+while keeping the same primary rays).
+
+RNG note: this path uses the TPU per-core PRNG seeded per (seed, tile),
+not the counter-based threefry streams of the XLA path, so images agree
+with the XLA renderer statistically (same estimator, different sample
+sequence). Exact-parity testing of the identical kernel body goes through
+the tape-mode kernels (tests/test_megakernel.py, tests/test_fused.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from drt_tpu.camera import Camera
+from drt_tpu.config import RenderConfig
+from drt_tpu.ops.megakernel import make_fused_adjoint, make_fused_tracer
+from drt_tpu.ops.vecmath import V3
+from drt_tpu.renderer import chunk_pixel_ids
+from drt_tpu.scene import Params, Scene, albedo_table, emission_table
+
+# Per-chunk seed strides (distinct odd constants; int32 wrap is fine).
+_CAM_STRIDE = np.int32(-1640531527)  # 0x9E3779B9 as signed
+_BOUNCE_STRIDE = np.int32(40503)
+_BWD_SALT = np.int32(0x0ADD)
+
+
+def seeds_from_key(key) -> jnp.ndarray:
+    """Derive the i32[2] (camera, bounce) seed pair from a JAX PRNG key."""
+    data = jax.random.key_data(key).astype(jnp.uint32)
+    return data.reshape(-1)[:2].astype(jnp.int32)
+
+
+def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
+                              tile_rows: int = 16,
+                              interpret: bool | None = None):
+    """Build `render(params, seeds: i32[2]) -> image f[H,W,3]`.
+
+    Differentiable in params. `seeds` can come from `seeds_from_key`.
+    spp is rendered in `cfg.spp_chunks` sequential kernel launches to
+    bound the per-launch radiance buffer.
+    """
+    tracer = make_fused_tracer(scene, cam, cfg, tile_rows=tile_rows,
+                               rng="internal", interpret=interpret)
+    adj = make_fused_adjoint(scene, cam, cfg, tile_rows=tile_rows,
+                             rng="internal", interpret=interpret)
+    w, h = cfg.width, cfg.height
+    spp_c = cfg.spp // cfg.spp_chunks
+    xy = np.asarray(chunk_pixel_ids(cfg))
+    yidx = jnp.asarray(xy[:, 1])
+    xidx = jnp.asarray(xy[:, 0])
+
+    def _chunk_seeds(seeds, c):
+        return seeds + jnp.stack([_CAM_STRIDE, _BOUNCE_STRIDE]) * c
+
+    @jax.custom_vjp
+    def render(params: Params, seeds: jnp.ndarray) -> jnp.ndarray:
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        img = jnp.zeros((h, w, 3), alb.dtype)
+        for c in range(cfg.spp_chunks):
+            L = tracer(alb, emi, _chunk_seeds(seeds, c))
+            chans = [ch.reshape(h, w, spp_c).mean(axis=2) for ch in L]
+            img = img + jnp.stack(chans, axis=-1)
+        return img / cfg.spp_chunks
+
+    def fwd(params, seeds):
+        return render(params, seeds), (params, seeds)
+
+    def bwd(res, g):
+        params, seeds = res
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        dtype = alb.dtype
+        # image = mean over chunks of per-pixel spp_c means
+        g_pix = (g / (spp_c * cfg.spp_chunks)).astype(dtype)
+        g_ray = V3(g_pix[:, :, 0][yidx, xidx],
+                   g_pix[:, :, 1][yidx, xidx],
+                   g_pix[:, :, 2][yidx, xidx])
+        k = params.albedo.shape[0]
+        l = params.emission.shape[0]
+        da = jnp.zeros((k, 3), dtype)
+        de = jnp.zeros((l, 3), dtype)
+        for c in range(cfg.spp_chunks):
+            cs = _chunk_seeds(seeds, c)
+            if cfg.unbiased:
+                # Fresh bounce stream, same camera stream
+                # (integrate.hpp:39-52).
+                cs = cs + jnp.stack([jnp.int32(0), _BWD_SALT])
+            da_c, de_c = adj(alb, emi, cs, g_ray)
+            da = da + da_c[:k]
+            de = de + de_c[:l]
+        dparams = Params(albedo=da.astype(params.albedo.dtype),
+                         emission=de.astype(params.emission.dtype))
+        return (dparams, None)
+
+    render.defvjp(fwd, bwd)
+    return render

@@ -1,0 +1,110 @@
+"""Fully-fused megakernel (in-kernel camera + uniform plumbing) vs the
+XLA path, in tape mode on CPU (the TPU PRNG is not emulated by the Pallas
+interpreter; internal-RNG mode is exercised on real TPU by
+tests/test_fused.py::test_internal_rng_on_tpu and the bench)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from drt_tpu.adjoint import _param_grads
+from drt_tpu.camera import camera_rays
+from drt_tpu.config import RenderConfig
+from drt_tpu.models import cbox
+from drt_tpu.ops.megakernel import make_fused_adjoint, make_fused_tracer
+from drt_tpu.ops.vecmath import V3
+from drt_tpu.renderer import chunk_pixel_ids, trace_rays
+from drt_tpu.scene import albedo_table, emission_table
+
+
+def _setup(cfg, seed=0):
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    n = cfg.width * cfg.height * (cfg.spp // cfg.spp_chunks)
+    xy = chunk_pixel_ids(cfg)
+    cam_u = jax.random.uniform(jax.random.key(seed), (n, 2),
+                               dtype=jnp.float32)
+    o, d, _ = camera_rays(cam, cfg.width, cfg.height, xy, cam_u)
+    tape = jax.random.uniform(jax.random.key(seed + 1),
+                              (cfg.max_depth, 3, n), dtype=jnp.float32)
+    return scene, params, cam, n, cam_u, o, d, tape
+
+
+def test_fused_forward_camera_and_trace_match_xla():
+    """In-kernel camera generation + wavefront == camera_rays + trace_rays
+    bit-for-bit on the same uniform tape."""
+    cfg = RenderConfig(width=8, height=6, spp=4, max_depth=3)
+    scene, params, cam, n, cam_u, o, d, tape = _setup(cfg)
+
+    L_ref = trace_rays(params, scene, o, d, None, cfg, tape=tape)
+    tracer = make_fused_tracer(scene, cam, cfg, tile_rows=8, rng="tape",
+                               interpret=True)
+    L_pal = tracer(albedo_table(scene, params),
+                   emission_table(scene, params), cam_u.T, tape)
+    ra = np.stack([np.asarray(c) for c in L_ref])
+    pa = np.stack([np.asarray(c) for c in L_pal])
+    assert ra.mean() > 0
+    np.testing.assert_allclose(pa, ra, rtol=2e-5, atol=2e-6)
+
+
+def test_fused_adjoint_matches_xla_param_grads():
+    cfg = RenderConfig(width=8, height=6, spp=4, max_depth=3)
+    scene, params, cam, n, cam_u, o, d, tape = _setup(cfg, seed=4)
+    g = V3(*jax.random.uniform(jax.random.key(9), (3, n),
+                               dtype=jnp.float32))
+
+    _, res = trace_rays(params, scene, o, d, None, cfg, tape=tape,
+                        collect=True)
+    gp = _param_grads(params, scene, res, g, jnp.float32)
+    adj = make_fused_adjoint(scene, cam, cfg, tile_rows=8, rng="tape",
+                             interpret=True)
+    da, de = adj(albedo_table(scene, params),
+                 emission_table(scene, params), cam_u.T, tape, g)
+    k = gp.albedo.shape[0]
+    l = gp.emission.shape[0]
+    np.testing.assert_allclose(np.asarray(da)[:k], np.asarray(gp.albedo),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(de)[:l], np.asarray(gp.emission),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="TPU per-core PRNG is not emulated on CPU")
+def test_internal_rng_on_tpu():
+    """On real TPU: internal-RNG image agrees with the XLA renderer
+    statistically, and the fused adjoint matches finite differences of
+    the (deterministic, seeded) fused estimator."""
+    from drt_tpu.renderer import render_image
+
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    cfg = RenderConfig(width=16, height=12, spp=64, max_depth=4)
+    alb = albedo_table(scene, params)
+    emi = emission_table(scene, params)
+    seeds = jnp.asarray([123, 456], jnp.int32)
+
+    tracer = make_fused_tracer(scene, cam, cfg, rng="internal")
+    L = tracer(alb, emi, seeds)
+    img_p = np.stack([np.asarray(c).reshape(12, 16, 64).mean(-1)
+                      for c in L], -1)
+    img_x = np.asarray(render_image(params, scene, cam, jax.random.key(0),
+                                    cfg))
+    assert abs(img_p.mean() - img_x.mean()) / img_x.mean() < 0.1
+
+    adj = make_fused_adjoint(scene, cam, cfg, rng="internal")
+    n = 16 * 12 * 64
+    g1 = V3(jnp.ones(n), jnp.ones(n), jnp.ones(n))
+    da, _ = adj(alb, emi, seeds, g1)
+
+    def f(tab):
+        L = tracer(tab, emi, seeds)
+        return float((L.x + L.y + L.z).sum())
+
+    eps = 1e-2
+    alb_np = np.asarray(alb)
+    ap = alb_np.copy()
+    ap[0, 0] += eps
+    am = alb_np.copy()
+    am[0, 0] -= eps
+    fd = (f(jnp.asarray(ap)) - f(jnp.asarray(am))) / (2 * eps)
+    assert abs(float(da[0, 0]) - fd) / (abs(fd) + 1e-3) < 2e-2
