@@ -21,7 +21,7 @@ from drt_tpu.config import RenderConfig
 from drt_tpu.scene import Scene, Params, make_scene
 from drt_tpu.camera import Camera, look_at
 from drt_tpu.renderer import trace_rays, render_image
-from drt_tpu.adjoint import make_diff_renderer
+from drt_tpu.adjoint import make_diff_renderer, make_diff_image_renderer
 
 __version__ = "0.1.0"
 
@@ -35,5 +35,6 @@ __all__ = [
     "trace_rays",
     "render_image",
     "make_diff_renderer",
+    "make_diff_image_renderer",
     "__version__",
 ]

@@ -36,6 +36,10 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--f64", action="store_true",
                    help="trace in float64 (CPU validation mode)")
+    p.add_argument("--backend", choices=("auto", "xla", "pallas"),
+                   default="auto",
+                   help="auto = fused Pallas megakernels on single-chip "
+                        "TPU at moderate depth, XLA wavefront otherwise")
 
 
 def _build(args):
@@ -68,14 +72,15 @@ def _write(path: str, img: np.ndarray) -> None:
 def cmd_render(args) -> int:
     import jax
 
-    from drt_tpu.renderer import render_image
+    from drt_tpu.parallel.render import make_renderer
     from drt_tpu.utils.profiling import mrays_per_second
 
     scene, params, cam, cfg = _build(args)
+    render = make_renderer(scene, cfg, cam, differentiable=False,
+                           backend=args.backend)
     key = jax.random.key(args.seed)
     t0 = time.time()
-    img = jax.jit(lambda p, k: render_image(p, scene, cam, k, cfg))(
-        params, key)
+    img = render(params, key)
     img = np.asarray(jax.block_until_ready(img))
     dt = time.time() - t0
     _write(args.output, img)

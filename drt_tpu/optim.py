@@ -28,7 +28,7 @@ class TrainState(NamedTuple):
 
 def make_train_step(scene: Scene, cfg: RenderConfig, cam: Camera,
                     target: jnp.ndarray, optimizer: optax.GradientTransformation,
-                    mesh=None, paired: bool = True):
+                    mesh=None, paired: bool = True, backend: str = "auto"):
     """Build `(state, key) -> (state, metrics)` — one Adam step on the
     L2 image loss, differentiated through radiative backprop.
 
@@ -38,7 +38,8 @@ def make_train_step(scene: Scene, cfg: RenderConfig, cam: Camera,
     (observed: 0.2 recovered vs 0.5 true at 16 spp); the paired product is
     an unbiased estimator of the true expected-image loss.
     """
-    render = make_renderer(scene, cfg, cam, mesh=mesh, differentiable=True)
+    render = make_renderer(scene, cfg, cam, mesh=mesh, differentiable=True,
+                           backend=backend)
 
     def loss_fn(params, key):
         if paired:
@@ -73,11 +74,13 @@ def init_state(params: Params, optimizer) -> TrainState:
 def inverse_render(scene: Scene, cfg: RenderConfig, cam: Camera,
                    target: jnp.ndarray, init_params: Params, key,
                    steps: int = 200, learning_rate: float = 2e-2,
-                   mesh=None, log_every: int = 0, logger=None):
+                   mesh=None, log_every: int = 0, logger=None,
+                   backend: str = "auto"):
     """Run the recovery loop (BASELINE.json config 4). Returns
     (final params, per-step metrics dict of stacked arrays)."""
     optimizer = optax.adam(learning_rate)
-    step_fn = make_train_step(scene, cfg, cam, target, optimizer, mesh=mesh)
+    step_fn = make_train_step(scene, cfg, cam, target, optimizer, mesh=mesh,
+                              backend=backend)
     state = init_state(init_params, optimizer)
     losses, grad_norms = [], []
     for i in range(steps):

@@ -23,12 +23,34 @@ from drt_tpu.scene import Params, Scene
 
 
 def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
-                  mesh: Mesh | None = None, differentiable: bool = True):
+                  mesh: Mesh | None = None, differentiable: bool = True,
+                  backend: str = "auto"):
     """Build `render(params, key) -> image f[H,W,3]`, jitted.
 
     With a mesh, per-ray arrays are sharding-constrained over it and params
     are replicated; gradients of the returned function psum over the mesh.
+
+    backend: "xla" = the shardable wavefront scan; "pallas" = the fused
+    single-chip megakernel pipeline (drt_tpu/fused.py); "auto" picks
+    pallas on single-chip TPU at moderate depth (kernel compile time and
+    VMEM residuals grow with max_depth), else xla.
     """
+    if backend == "auto":
+        backend = ("pallas" if (mesh is None
+                                and jax.default_backend() == "tpu"
+                                and cfg.max_depth <= 8) else "xla")
+    if backend == "pallas":
+        if mesh is not None:
+            raise ValueError("pallas backend is single-chip; use the xla "
+                             "backend for mesh-sharded rendering")
+        from drt_tpu.fused import make_fused_image_renderer, seeds_from_key
+        fused = make_fused_image_renderer(scene, cam, cfg)
+
+        def render(params: Params, key) -> jnp.ndarray:
+            return fused(params, seeds_from_key(key))
+
+        return jax.jit(render)
+
     if mesh is not None:
         n_dev = mesh.devices.size
         n_rays = cfg.width * cfg.height * (cfg.spp // cfg.spp_chunks)

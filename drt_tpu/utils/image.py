@@ -22,8 +22,26 @@ def _exr_attr(name: bytes, type_: bytes, value: bytes) -> bytes:
 def write_exr(path: str, img: np.ndarray) -> None:
     """Write f[H,W,3] (or [H,W,4]) linear radiance as an uncompressed
     half-float RGBA EXR (alpha = 1 if absent), matching the reference's
-    output format (src/write.hpp:20 `WRITE_RGBA`)."""
+    output format (src/write.hpp:20 `WRITE_RGBA`).
+
+    Uses the native C++ writer (native/exr_writer.cpp — the counterpart
+    of the reference's native OpenEXR path) when the toolchain is
+    available; this pure-Python implementation is the fallback and the
+    byte-layout specification."""
     img = np.asarray(img, dtype=np.float32)
+    if img.shape[2] == 3:
+        from drt_tpu.utils.native import exr_writer
+        lib = exr_writer()
+        if lib is not None:
+            import ctypes
+            buf = np.ascontiguousarray(img, dtype=np.float32)
+            rc = lib.drt_write_exr(
+                path.encode(), buf.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)),
+                img.shape[1], img.shape[0])
+            if rc == 0:
+                return
+            # else fall through to the Python writer
     h, w = img.shape[:2]
     if img.shape[2] == 3:
         img = np.concatenate([img, np.ones((h, w, 1), np.float32)], axis=2)
