@@ -173,3 +173,31 @@ def test_unbiased_mode_agrees_in_expectation():
     mean_b = np.mean([np.asarray(g.albedo) for g in gb], axis=0)
     scale = np.abs(mean_b).max()
     np.testing.assert_allclose(mean_u, mean_b, atol=0.35 * scale)
+
+
+def test_jvp_dual_number_ground_truth():
+    """The reference validates reverse-mode grads against a forward-mode
+    dual-number render (README.md:138-145, Dual<double> at
+    src/render.cpp:22-23). TPU equivalent: jax.jvp through the tape-mode
+    estimator is exactly that dual-number pass; for every tangent
+    direction v, <vjp-grad, v> must equal the jvp tangent."""
+    scene, params, cfg, o, d, tape = _setup(max_depth=6)
+    diff = make_diff_renderer(scene, cfg, use_tape=True)
+
+    def loss(p):
+        return vsum(diff(p, o, d, tape))
+
+    def loss_ad(p):  # plain AD graph (no custom VJP) for the jvp pass
+        return vsum(trace_rays(p, scene, o, d, None, cfg, tape=tape))
+
+    grad = jax.grad(loss)(params)
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        v = Params(
+            albedo=jnp.asarray(rng.normal(size=params.albedo.shape)),
+            emission=jnp.asarray(rng.normal(size=params.emission.shape)))
+        _, tangent = jax.jvp(loss_ad, (params,), (v,))
+        dot = (jnp.sum(grad.albedo * v.albedo)
+               + jnp.sum(grad.emission * v.emission))
+        np.testing.assert_allclose(float(dot), float(tangent),
+                                   rtol=1e-9, atol=1e-12)
