@@ -39,3 +39,35 @@ def restore(path: str, like: TrainState):
     state = jax.tree.unflatten(treedef, leaves)
     key = jax.random.wrap_key_data(data["key_data"])
     return state, key
+
+
+# -- orbax backend (multi-host-capable, async-friendly) ----------------------
+
+def save_orbax(directory: str, state: TrainState, key, step: int | None
+               = None) -> None:
+    """Persist a TrainState + RNG key with orbax (the TPU-ecosystem
+    checkpointing library: atomic, multi-host aware). One checkpoint per
+    `step` under `directory`."""
+    import orbax.checkpoint as ocp
+
+    step = int(state.step) if step is None else step
+    payload = {"state": state,
+               "key_data": np.asarray(jax.random.key_data(key))}
+    with ocp.CheckpointManager(pathlib.Path(directory).resolve()) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(payload))
+        mgr.wait_until_finished()
+
+
+def restore_orbax(directory: str, like: TrainState, step: int | None = None):
+    """Restore (TrainState, key, step) from the latest (or given) orbax
+    checkpoint under `directory`. `like` supplies the pytree structure."""
+    import orbax.checkpoint as ocp
+
+    template = {"state": like,
+                "key_data": np.zeros((2,), np.uint32)}
+    with ocp.CheckpointManager(pathlib.Path(directory).resolve()) as mgr:
+        step = mgr.latest_step() if step is None else step
+        out = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    key = jax.random.wrap_key_data(
+        np.asarray(out["key_data"], np.uint32))
+    return out["state"], key, step

@@ -69,3 +69,27 @@ def test_checkpoint_resume_midloop(tmp_path):
     np.testing.assert_allclose(float(m_live["loss"]),
                                float(m_resumed["loss"]))
     assert int(restored.step) == 5
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax backend (SURVEY.md §5 "Checkpoint / resume"): TrainState +
+    RNG key survive a save/restore cycle by step number."""
+    import optax
+
+    from drt_tpu.optim import TrainState, init_state
+    from drt_tpu.utils.checkpoint import restore_orbax, save_orbax
+
+    params = Params(albedo=jnp.full((3, 3), 0.3),
+                    emission=jnp.ones((1, 3)))
+    opt = optax.adam(1e-2)
+    state = init_state(params, opt)
+    state = TrainState(state.params, state.opt_state, jnp.asarray(7))
+    key = jax.random.key(42)
+
+    save_orbax(str(tmp_path / "ckpt"), state, key)
+    restored, rkey, step = restore_orbax(str(tmp_path / "ckpt"),
+                                         init_state(params, opt))
+    assert step == 7 and int(restored.step) == 7
+    np.testing.assert_array_equal(np.asarray(restored.params.albedo),
+                                  np.asarray(params.albedo))
+    assert (jax.random.key_data(rkey) == jax.random.key_data(key)).all()
