@@ -30,7 +30,6 @@ from drt_tpu.camera import Camera
 from drt_tpu.config import RenderConfig
 from drt_tpu.ops.megakernel import make_fused_adjoint, make_fused_tracer
 from drt_tpu.ops.vecmath import V3
-from drt_tpu.renderer import chunk_pixel_ids
 from drt_tpu.scene import Params, Scene, albedo_table, emission_table
 
 # Per-chunk seed strides (distinct odd constants; int32 wrap is fine).
@@ -60,9 +59,6 @@ def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
                              rng="internal", interpret=interpret)
     w, h = cfg.width, cfg.height
     spp_c = cfg.spp // cfg.spp_chunks
-    xy = np.asarray(chunk_pixel_ids(cfg))
-    yidx = jnp.asarray(xy[:, 1])
-    xidx = jnp.asarray(xy[:, 0])
 
     def _chunk_seeds(seeds, c):
         return seeds + jnp.stack([_CAM_STRIDE, _BOUNCE_STRIDE]) * c
@@ -74,7 +70,9 @@ def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
         img = jnp.zeros((h, w, 3), alb.dtype)
         for c in range(cfg.spp_chunks):
             L = tracer(alb, emi, _chunk_seeds(seeds, c))
-            chans = [ch.reshape(h, w, spp_c).mean(axis=2) for ch in L]
+            # spp-OUTER ray order (megakernel._camera_rays_static): the
+            # spp mean reduces over the major axis, pixel axis stays minor.
+            chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
             img = img + jnp.stack(chans, axis=-1)
         return img / cfg.spp_chunks
 
@@ -86,11 +84,12 @@ def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
         alb = albedo_table(scene, params)
         emi = emission_table(scene, params)
         dtype = alb.dtype
-        # image = mean over chunks of per-pixel spp_c means
+        # image = mean over chunks of per-pixel spp_c means; ray i of a
+        # chunk covers pixel i % (W*H) (spp-outer order).
         g_pix = (g / (spp_c * cfg.spp_chunks)).astype(dtype)
-        g_ray = V3(g_pix[:, :, 0][yidx, xidx],
-                   g_pix[:, :, 1][yidx, xidx],
-                   g_pix[:, :, 2][yidx, xidx])
+        g_ray = V3(jnp.tile(g_pix[:, :, 0].reshape(-1), spp_c),
+                   jnp.tile(g_pix[:, :, 1].reshape(-1), spp_c),
+                   jnp.tile(g_pix[:, :, 2].reshape(-1), spp_c))
         k = params.albedo.shape[0]
         l = params.emission.shape[0]
         da = jnp.zeros((k, 3), dtype)

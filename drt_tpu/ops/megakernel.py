@@ -492,14 +492,18 @@ class StaticCamera:
 def _camera_rays_static(sc: StaticCamera, spp_c: int, tile_rows: int,
                         base_idx, u_s, u_t, dtype):
     """In-kernel primary-ray generation (reference: camera.hpp:51-60,
-    mirroring drt_tpu/camera.py camera_rays). Ray index -> pixel follows
-    chunk_pixel_ids' layout: pixels row-major, spp-major within a pixel."""
+    mirroring drt_tpu/camera.py camera_rays). Ray ordering is SPP-OUTER:
+    ray i maps to pixel i % (W*H), sample i // (W*H). This keeps the
+    huge pixel axis minor so the downstream per-pixel spp-mean reduces
+    over the MAJOR axis — a spp-minor layout forces a pathological
+    (spp -> 128 lane) relayout on TPU (~19 ms/chunk measured at spp 2)."""
     shape = (tile_rows, LANES)
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     idx = base_idx + row * LANES + lane
-    pix = idx // spp_c
-    pix = jnp.minimum(pix, sc.width * sc.height - 1)  # clamp padding rays
+    npix = sc.width * sc.height
+    pix = idx - (idx // npix) * npix  # idx % npix
+    pix = jnp.minimum(pix, npix - 1)  # clamp padding rays
     y = pix // sc.width
     x = pix - y * sc.width
     s = (x.astype(dtype) + u_s) / dtype(sc.width)

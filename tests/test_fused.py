@@ -15,14 +15,18 @@ from drt_tpu.config import RenderConfig
 from drt_tpu.models import cbox
 from drt_tpu.ops.megakernel import make_fused_adjoint, make_fused_tracer
 from drt_tpu.ops.vecmath import V3
-from drt_tpu.renderer import chunk_pixel_ids, trace_rays
+from drt_tpu.camera import pixel_grid
+from drt_tpu.renderer import trace_rays
 from drt_tpu.scene import albedo_table, emission_table
 
 
 def _setup(cfg, seed=0):
     scene, params, cam = cbox.build(dtype=jnp.float32)
-    n = cfg.width * cfg.height * (cfg.spp // cfg.spp_chunks)
-    xy = chunk_pixel_ids(cfg)
+    spp_c = cfg.spp // cfg.spp_chunks
+    n = cfg.width * cfg.height * spp_c
+    # spp-OUTER ray ordering (megakernel._camera_rays_static): ray i is
+    # pixel i % (W*H), sample i // (W*H).
+    xy = jnp.tile(pixel_grid(cfg.width, cfg.height), (spp_c, 1))
     cam_u = jax.random.uniform(jax.random.key(seed), (n, 2),
                                dtype=jnp.float32)
     o, d, _ = camera_rays(cam, cfg.width, cfg.height, xy, cam_u)
