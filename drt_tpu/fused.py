@@ -109,3 +109,110 @@ def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
 
     render.defvjp(fwd, bwd)
     return render
+
+
+def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
+                                      cfg: RenderConfig, mesh,
+                                      tile_rows: int = 16,
+                                      interpret: bool | None = None):
+    """Sharded production path: the fused megakernels run per-device
+    under `shard_map` over `mesh`, each shard tracing its slice of the
+    global ray index space via `tile_base`; parameter-gradient partials
+    are psum'd over the mesh (the multi-chip analogue of the reference's
+    single-heap `m_grad +=`, vector.hpp:185-191).
+
+    Returns `render(params, seeds) -> image`, differentiable in params.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    names = tuple(mesh.axis_names)
+    n_dev = int(np.prod(mesh.devices.shape))
+    w, h = cfg.width, cfg.height
+    spp_c = cfg.spp // cfg.spp_chunks
+    n = w * h * spp_c
+    tile = tile_rows * 128
+    if n % (n_dev * tile) != 0:
+        raise ValueError(
+            f"rays per chunk ({n}) must split into whole {tile}-ray tiles "
+            f"per device over {n_dev} devices; adjust width/height/spp")
+    local_n = n // n_dev
+    local_tiles = local_n // tile
+
+    tracer = make_fused_tracer(scene, cam, cfg, tile_rows=tile_rows,
+                               rng="internal", interpret=interpret,
+                               n_rays=local_n)
+    adj = make_fused_adjoint(scene, cam, cfg, tile_rows=tile_rows,
+                             rng="internal", interpret=interpret,
+                             n_rays=local_n)
+
+    def _dev_index():
+        idx = 0
+        for name in names:
+            idx = idx * jax.lax.axis_size(name) + jax.lax.axis_index(name)
+        return idx
+
+    ray_p = P(names)
+    v3_ray = V3(ray_p, ray_p, ray_p)
+
+    def _shard_trace(alb, emi, seeds):
+        L = tracer(alb, emi, seeds, tile_base=_dev_index() * local_tiles)
+        return L
+
+    def _shard_adj(alb, emi, seeds, g):
+        da, de = adj(alb, emi, seeds, g,
+                     tile_base=_dev_index() * local_tiles)
+        return jax.lax.psum((da, de), names)
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axis
+    # annotation, so shard_map's vma checker cannot see through them.
+    sharded_trace = shard_map(_shard_trace, mesh=mesh,
+                              in_specs=(P(), P(), P()),
+                              out_specs=v3_ray, check_vma=False)
+    sharded_adj = shard_map(_shard_adj, mesh=mesh,
+                            in_specs=(P(), P(), P(), v3_ray),
+                            out_specs=(P(), P()), check_vma=False)
+
+    def _chunk_seeds(seeds, c):
+        return seeds + jnp.stack([_CAM_STRIDE, _BOUNCE_STRIDE]) * c
+
+    @jax.custom_vjp
+    def render(params: Params, seeds: jnp.ndarray) -> jnp.ndarray:
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        img = jnp.zeros((h, w, 3), alb.dtype)
+        for c in range(cfg.spp_chunks):
+            L = sharded_trace(alb, emi, _chunk_seeds(seeds, c))
+            chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
+            img = img + jnp.stack(chans, axis=-1)
+        return img / cfg.spp_chunks
+
+    def fwd(params, seeds):
+        return render(params, seeds), (params, seeds)
+
+    def bwd(res, g):
+        params, seeds = res
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        dtype = alb.dtype
+        g_pix = (g / (spp_c * cfg.spp_chunks)).astype(dtype)
+        g_ray = V3(jnp.tile(g_pix[:, :, 0].reshape(-1), spp_c),
+                   jnp.tile(g_pix[:, :, 1].reshape(-1), spp_c),
+                   jnp.tile(g_pix[:, :, 2].reshape(-1), spp_c))
+        k = params.albedo.shape[0]
+        l = params.emission.shape[0]
+        da = jnp.zeros((k, 3), dtype)
+        de = jnp.zeros((l, 3), dtype)
+        for c in range(cfg.spp_chunks):
+            cs = _chunk_seeds(seeds, c)
+            if cfg.unbiased:
+                cs = cs + jnp.stack([jnp.int32(0), _BWD_SALT])
+            da_c, de_c = sharded_adj(alb, emi, cs, g_ray)
+            da = da + da_c[:k]
+            de = de + de_c[:l]
+        dparams = Params(albedo=da.astype(params.albedo.dtype),
+                         emission=de.astype(params.emission.dtype))
+        return (dparams, None)
+
+    render.defvjp(fwd, bwd)
+    return render

@@ -536,21 +536,29 @@ def _uniform_from_bits(shape, dtype):
 
 def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,
                       tile_rows: int = 16, rng: str = "internal",
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      n_rays: int | None = None):
     """Build the fully-fused forward pass: camera ray generation, uniform
     sampling, and the whole wavefront loop in ONE kernel — per-ray HBM
     traffic is just the radiance write.
 
     rng="internal": uniforms from the TPU per-core PRNG, seeded per
-      (seed, tile); `trace(albedo_tab, emission_tab, seeds: i32[2])`.
-      seeds[0] drives the camera jitter, seeds[1] the bounce sampling
-      (separated so unbiased-mode adjoints can redraw bounce samples
-      while replaying the same primary rays, integrate.hpp:39-52).
+      (seed, global tile); `trace(albedo_tab, emission_tab,
+      seeds: i32[2], tile_base=0)`. seeds[0] drives the camera jitter,
+      seeds[1] the bounce sampling (separated so unbiased-mode adjoints
+      can redraw bounce samples while replaying the same primary rays,
+      integrate.hpp:39-52).
     rng="tape": uniforms from inputs `(cam_u: f[2, N], u: f[D, 3, N])` —
       exact-parity testing against the XLA path on CPU (the TPU PRNG is
       not emulated in interpret mode).
 
-    Returns radiance V3 of f[N] with N = width * height * (spp/spp_chunks).
+    n_rays: rays handled by this kernel instance (default the full chunk
+      W*H*(spp/spp_chunks)). Under shard_map each device builds the
+      kernel with its local count and passes its global `tile_base`
+      (device_index * local_tiles) so ray->pixel mapping and PRNG streams
+      are globally consistent and collision-free across shards.
+
+    Returns radiance V3 of f[n_rays].
     """
     ss = StaticScene(scene)
     sc = StaticCamera(cam, cfg.width, cfg.height)
@@ -558,15 +566,15 @@ def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,
         interpret = jax.default_backend() != "tpu"
     D = cfg.max_depth
     spp_c = cfg.spp // cfg.spp_chunks
-    n = cfg.width * cfg.height * spp_c
+    n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays
     rows, padded = _pad_rows(n, tile_rows)
     grid = rows // tile_rows
     tile = (tile_rows, LANES)
 
-    def body(alb_ref, emis_ref, get_cam_u, get_u, lx, ly, lz):
+    def body(alb_ref, emis_ref, tb, get_cam_u, get_u, lx, ly, lz):
         dtype = lx.dtype.type
         i = pl.program_id(0)
-        base_idx = i * (tile_rows * LANES)
+        base_idx = (tb + i) * (tile_rows * LANES)
         u_s, u_t = get_cam_u()
         o, d = _camera_rays_static(sc, spp_c, tile_rows, base_idx,
                                    u_s, u_t, dtype)
@@ -575,36 +583,42 @@ def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,
         ly[...] = L.y
         lz[...] = L.z
 
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
     if rng == "internal":
-        def kernel(seed_ref, alb_ref, emis_ref, lx, ly, lz):
-            i = pl.program_id(0)
-            pltpu.prng_seed(seed_ref[0], i)
+        def kernel(tb_ref, seed_ref, alb_ref, emis_ref, lx, ly, lz):
+            gi = tb_ref[0] + pl.program_id(0)  # global tile id
+            pltpu.prng_seed(seed_ref[0], gi)
             cam_u = _uniform_from_bits((2, tile_rows, LANES), lx.dtype.type)
-            pltpu.prng_seed(seed_ref[1], i)
+            pltpu.prng_seed(seed_ref[1], gi)
             u = _uniform_from_bits((D, 3, tile_rows, LANES), lx.dtype.type)
-            body(alb_ref, emis_ref, lambda: (cam_u[0], cam_u[1]),
+            body(alb_ref, emis_ref, tb_ref[0],
+                 lambda: (cam_u[0], cam_u[1]),
                  lambda b: (u[b, 0], u[b, 1], u[b, 2]), lx, ly, lz)
 
-        def trace(albedo_tab, emission_tab, seeds) -> V3:
+        def trace(albedo_tab, emission_tab, seeds, tile_base=0) -> V3:
             dtype = albedo_tab.dtype
+            tb = jnp.asarray(tile_base, jnp.int32).reshape(1)
             out = pl.pallas_call(
                 kernel,
                 grid=(grid,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+                in_specs=[smem] * 4,
                 out_specs=[pl.BlockSpec(tile, lambda i: (i, 0),
                                         memory_space=pltpu.VMEM)] * 3,
                 out_shape=[jax.ShapeDtypeStruct((rows, LANES), dtype)] * 3,
                 interpret=interpret,
-            )(seeds, albedo_tab, emission_tab)
+            )(tb, seeds, albedo_tab, emission_tab)
             return V3(*(c.reshape(padded)[:n] for c in out))
     else:
-        def kernel(alb_ref, emis_ref, cu_ref, u_ref, lx, ly, lz):
-            body(alb_ref, emis_ref, lambda: (cu_ref[0], cu_ref[1]),
+        def kernel(tb_ref, alb_ref, emis_ref, cu_ref, u_ref, lx, ly, lz):
+            body(alb_ref, emis_ref, tb_ref[0],
+                 lambda: (cu_ref[0], cu_ref[1]),
                  lambda b: (u_ref[b, 0], u_ref[b, 1], u_ref[b, 2]),
                  lx, ly, lz)
 
-        def trace(albedo_tab, emission_tab, cam_u, u) -> V3:
+        def trace(albedo_tab, emission_tab, cam_u, u, tile_base=0) -> V3:
             dtype = albedo_tab.dtype
+            tb = jnp.asarray(tile_base, jnp.int32).reshape(1)
             cu = jnp.pad(cam_u.reshape(2, -1), ((0, 0), (0, padded - n))) \
                 .reshape(2, rows, LANES)
             ut = jnp.pad(u.reshape(D, 3, -1),
@@ -614,8 +628,7 @@ def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,
                 kernel,
                 grid=(grid,),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    smem, smem, smem,
                     pl.BlockSpec((2, tile_rows, LANES),
                                  lambda i: (0, i, 0),
                                  memory_space=pltpu.VMEM),
@@ -627,7 +640,7 @@ def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,
                                         memory_space=pltpu.VMEM)] * 3,
                 out_shape=[jax.ShapeDtypeStruct((rows, LANES), dtype)] * 3,
                 interpret=interpret,
-            )(albedo_tab, emission_tab, cu, ut)
+            )(tb, albedo_tab, emission_tab, cu, ut)
             return V3(*(c.reshape(padded)[:n] for c in out))
 
     return trace
@@ -635,16 +648,20 @@ def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,
 
 def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
                        tile_rows: int = 16, rng: str = "internal",
-                       interpret: bool | None = None):
+                       interpret: bool | None = None,
+                       n_rays: int | None = None):
     """Fused radiative-backprop adjoint for the fused tracer: regenerate
     the primary rays and uniforms in-kernel, retrace collecting residuals
     in VMEM scratch, reverse-sweep, and accumulate parameter-grad partials
     in SMEM across the sequential grid.
 
-    rng="internal": `adj(albedo_tab, emission_tab, seeds: i32[2], g: V3[N])`
-      — pass the forward's seeds for biased mode (integrate.hpp:26-37) or
-      a fresh seeds[1] for unbiased mode (integrate.hpp:39-52).
-    rng="tape": `adj(albedo_tab, emission_tab, cam_u, u, g)`.
+    rng="internal": `adj(albedo_tab, emission_tab, seeds: i32[2], g: V3[N],
+      tile_base=0)` — pass the forward's seeds for biased mode
+      (integrate.hpp:26-37) or a fresh seeds[1] for unbiased mode
+      (integrate.hpp:39-52).
+    rng="tape": `adj(albedo_tab, emission_tab, cam_u, u, g, tile_base=0)`.
+
+    n_rays / tile_base: see make_fused_tracer — shard_map support.
     """
     ss = StaticScene(scene)
     sc = StaticCamera(cam, cfg.width, cfg.height)
@@ -652,12 +669,12 @@ def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
         interpret = jax.default_backend() != "tpu"
     D = cfg.max_depth
     spp_c = cfg.spp // cfg.spp_chunks
-    n = cfg.width * cfg.height * spp_c
+    n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays
     rows, padded = _pad_rows(n, tile_rows)
     grid = rows // tile_rows
     tile = (tile_rows, LANES)
 
-    def body(alb_ref, emis_ref, get_cam_u, get_u, gx, gy, gz,
+    def body(alb_ref, emis_ref, tb, get_cam_u, get_u, gx, gy, gz,
              da_ref, de_ref, rP_x, rP_y, rP_z, rsc, rgate, rbest):
         dtype = gx.dtype.type
         n_alb = alb_ref.shape[0]
@@ -673,7 +690,7 @@ def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
                 for c in range(3):
                     de_ref[l, c] = dtype(0.0)
 
-        base_idx = i * (tile_rows * LANES)
+        base_idx = (tb + i) * (tile_rows * LANES)
         u_s, u_t = get_cam_u()
         o, d = _camera_rays_static(sc, spp_c, tile_rows, base_idx,
                                    u_s, u_t, dtype)
@@ -763,40 +780,45 @@ def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
     def _pad_g(g: V3):
         return [_to_tiles(c, padded, rows) for c in (g.x, g.y, g.z)]
 
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
     if rng == "internal":
-        def kernel(seed_ref, alb_ref, emis_ref, gx, gy, gz,
+        def kernel(tb_ref, seed_ref, alb_ref, emis_ref, gx, gy, gz,
                    da_ref, de_ref, *scr):
-            i = pl.program_id(0)
-            pltpu.prng_seed(seed_ref[0], i)
+            gi = tb_ref[0] + pl.program_id(0)  # global tile id
+            pltpu.prng_seed(seed_ref[0], gi)
             cam_u = _uniform_from_bits((2, tile_rows, LANES), gx.dtype.type)
-            pltpu.prng_seed(seed_ref[1], i)
+            pltpu.prng_seed(seed_ref[1], gi)
             u = _uniform_from_bits((D, 3, tile_rows, LANES), gx.dtype.type)
-            body(alb_ref, emis_ref, lambda: (cam_u[0], cam_u[1]),
+            body(alb_ref, emis_ref, tb_ref[0],
+                 lambda: (cam_u[0], cam_u[1]),
                  lambda b: (u[b, 0], u[b, 1], u[b, 2]),
                  gx, gy, gz, da_ref, de_ref, *scr)
 
-        def adjoint(albedo_tab, emission_tab, seeds, g: V3):
-            in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
-                        + [ray_spec] * 3)
+        def adjoint(albedo_tab, emission_tab, seeds, g: V3, tile_base=0):
+            tb = jnp.asarray(tile_base, jnp.int32).reshape(1)
+            in_specs = [smem] * 4 + [ray_spec] * 3
             return _call(kernel, albedo_tab.dtype, albedo_tab.shape[0],
                          emission_tab.shape[0], in_specs,
-                         (seeds, albedo_tab, emission_tab, *_pad_g(g)))
+                         (tb, seeds, albedo_tab, emission_tab, *_pad_g(g)))
     else:
-        def kernel(alb_ref, emis_ref, cu_ref, u_ref, gx, gy, gz,
+        def kernel(tb_ref, alb_ref, emis_ref, cu_ref, u_ref, gx, gy, gz,
                    da_ref, de_ref, *scr):
-            body(alb_ref, emis_ref, lambda: (cu_ref[0], cu_ref[1]),
+            body(alb_ref, emis_ref, tb_ref[0],
+                 lambda: (cu_ref[0], cu_ref[1]),
                  lambda b: (u_ref[b, 0], u_ref[b, 1], u_ref[b, 2]),
                  gx, gy, gz, da_ref, de_ref, *scr)
 
-        def adjoint(albedo_tab, emission_tab, cam_u, u, g: V3):
+        def adjoint(albedo_tab, emission_tab, cam_u, u, g: V3,
+                    tile_base=0):
+            tb = jnp.asarray(tile_base, jnp.int32).reshape(1)
             cu = jnp.pad(cam_u.reshape(2, -1), ((0, 0), (0, padded - n))) \
                 .reshape(2, rows, LANES)
             ut = jnp.pad(u.reshape(D, 3, -1),
                          ((0, 0), (0, 0), (0, padded - n))) \
                 .reshape(D, 3, rows, LANES)
             in_specs = [
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                smem, smem, smem,
                 pl.BlockSpec((2, tile_rows, LANES), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((D, 3, tile_rows, LANES),
@@ -806,7 +828,8 @@ def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
             ]
             return _call(kernel, albedo_tab.dtype, albedo_tab.shape[0],
                          emission_tab.shape[0], in_specs,
-                         (albedo_tab, emission_tab, cu, ut, *_pad_g(g)))
+                         (tb, albedo_tab, emission_tab, cu, ut,
+                          *_pad_g(g)))
 
     return adjoint
 

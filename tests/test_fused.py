@@ -112,3 +112,56 @@ def test_internal_rng_on_tpu():
     am[0, 0] -= eps
     fd = (f(jnp.asarray(ap)) - f(jnp.asarray(am))) / (2 * eps)
     assert abs(float(da[0, 0]) - fd) / (abs(fd) + 1e-3) < 2e-2
+
+
+def test_tile_base_splits_are_consistent():
+    """Two half-wavefront kernel calls with tile_base offsets must
+    reproduce the single full-wavefront call exactly (the shard_map
+    decomposition, megakernel n_rays/tile_base)."""
+    cfg = RenderConfig(width=16, height=8, spp=8, max_depth=3)
+    scene, params, cam, n, cam_u, o, d, tape = _setup(cfg, seed=6)
+    alb = albedo_table(scene, params)
+    emi = emission_table(scene, params)
+
+    tile_rows = 1  # 128-ray tiles so n=1024 splits into 8 tiles
+    full = make_fused_tracer(scene, cam, cfg, tile_rows=tile_rows,
+                             rng="tape", interpret=True)
+    L_full = full(alb, emi, cam_u.T, tape)
+
+    half = n // 2
+    half_tiles = half // 128
+    part = make_fused_tracer(scene, cam, cfg, tile_rows=tile_rows,
+                             rng="tape", interpret=True, n_rays=half)
+    L0 = part(alb, emi, cam_u.T[:, :half], tape[:, :, :half], tile_base=0)
+    L1 = part(alb, emi, cam_u.T[:, half:], tape[:, :, half:],
+              tile_base=half_tiles)
+    for cf, c0, c1 in zip(L_full, L0, L1):
+        np.testing.assert_array_equal(np.asarray(cf[:half]), np.asarray(c0))
+        np.testing.assert_array_equal(np.asarray(cf[half:]), np.asarray(c1))
+
+
+def test_tile_base_adjoint_partials_sum_to_full():
+    cfg = RenderConfig(width=16, height=8, spp=8, max_depth=3)
+    scene, params, cam, n, cam_u, o, d, tape = _setup(cfg, seed=8)
+    alb = albedo_table(scene, params)
+    emi = emission_table(scene, params)
+    g = V3(*jax.random.uniform(jax.random.key(11), (3, n),
+                               dtype=jnp.float32))
+
+    full = make_fused_adjoint(scene, cam, cfg, tile_rows=1, rng="tape",
+                              interpret=True)
+    da_f, de_f = full(alb, emi, cam_u.T, tape, g)
+
+    half = n // 2
+    part = make_fused_adjoint(scene, cam, cfg, tile_rows=1, rng="tape",
+                              interpret=True, n_rays=half)
+    gh0 = V3(g.x[:half], g.y[:half], g.z[:half])
+    gh1 = V3(g.x[half:], g.y[half:], g.z[half:])
+    da0, de0 = part(alb, emi, cam_u.T[:, :half], tape[:, :, :half], gh0,
+                    tile_base=0)
+    da1, de1 = part(alb, emi, cam_u.T[:, half:], tape[:, :, half:], gh1,
+                    tile_base=half // 128)
+    np.testing.assert_allclose(np.asarray(da0 + da1), np.asarray(da_f),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(de0 + de1), np.asarray(de_f),
+                               rtol=1e-5, atol=1e-6)
