@@ -564,6 +564,10 @@ def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,
     sc = StaticCamera(cam, cfg.width, cfg.height)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if interpret is True and rng == "internal":
+        # Plain interpret=True has no rule for the TPU PRNG primitives;
+        # the TPU interpreter stubs them (bits = 0 -> u = 0).
+        interpret = pltpu.InterpretParams()
     D = cfg.max_depth
     spp_c = cfg.spp // cfg.spp_chunks
     n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays
@@ -667,6 +671,10 @@ def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
     sc = StaticCamera(cam, cfg.width, cfg.height)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if interpret is True and rng == "internal":
+        # Plain interpret=True has no rule for the TPU PRNG primitives;
+        # the TPU interpreter stubs them (bits = 0 -> u = 0).
+        interpret = pltpu.InterpretParams()
     D = cfg.max_depth
     spp_c = cfg.spp // cfg.spp_chunks
     n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays

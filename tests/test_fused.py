@@ -165,3 +165,30 @@ def test_tile_base_adjoint_partials_sum_to_full():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(de0 + de1), np.asarray(de_f),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_fused_structure_on_virtual_mesh():
+    """Sharded fused renderer under shard_map on a 4-device virtual mesh:
+    validates specs/collectives/compile. (Interpret-mode PRNG yields
+    zeros, so values are not asserted here — value parity is covered by
+    the tile_base tests and the on-TPU mesh(1) check.)"""
+    from jax.sharding import Mesh
+
+    from drt_tpu.fused import (make_sharded_fused_image_renderer,
+                               seeds_from_key)
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    cfg = RenderConfig(width=64, height=32, spp=8, max_depth=2,
+                       spp_chunks=2)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("tiles", "spp"))
+    render = make_sharded_fused_image_renderer(scene, cam, cfg, mesh,
+                                               tile_rows=1)
+    seeds = seeds_from_key(jax.random.key(0))
+    img = render(params, seeds)
+    assert img.shape == (32, 64, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    g = jax.grad(lambda p: render(p, seeds).sum())(params)
+    assert np.isfinite(np.asarray(g.albedo)).all()
