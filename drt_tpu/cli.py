@@ -135,7 +135,9 @@ def cmd_invert(args) -> int:
     recovered, metrics = inverse_render(
         scene, cfg, cam, target, init, jax.random.key(args.seed),
         steps=args.steps, learning_rate=args.lr,
-        log_every=args.log_every)
+        log_every=args.log_every, backend=args.backend,
+        checkpoint_dir=args.checkpoint_dir,
+        metrics_jsonl=args.metrics_jsonl)
     out = {
         "true_albedo": np.asarray(params.albedo).tolist(),
         "recovered_albedo": np.asarray(recovered.albedo).tolist(),
@@ -166,6 +168,10 @@ def main(argv=None) -> int:
     pi.add_argument("--steps", type=int, default=200)
     pi.add_argument("--lr", type=float, default=2e-2)
     pi.add_argument("--log-every", type=int, default=20)
+    pi.add_argument("--checkpoint-dir", default=None,
+                    help="orbax checkpoint dir; resumes if it has one")
+    pi.add_argument("--metrics-jsonl", default=None,
+                    help="stream per-step metrics to this JSONL file")
     pi.set_defaults(fn=cmd_invert)
 
     args = parser.parse_args(argv)

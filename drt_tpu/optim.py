@@ -75,21 +75,54 @@ def inverse_render(scene: Scene, cfg: RenderConfig, cam: Camera,
                    target: jnp.ndarray, init_params: Params, key,
                    steps: int = 200, learning_rate: float = 2e-2,
                    mesh=None, log_every: int = 0, logger=None,
-                   backend: str = "auto"):
+                   backend: str = "auto", checkpoint_dir: str | None = None,
+                   checkpoint_every: int = 50,
+                   metrics_jsonl: str | None = None):
     """Run the recovery loop (BASELINE.json config 4). Returns
-    (final params, per-step metrics dict of stacked arrays)."""
+    (final params, per-step metrics dict of stacked arrays).
+
+    checkpoint_dir: if given, resumes from the latest orbax checkpoint
+    there (params + Adam moments + RNG key + step — SURVEY.md §5) and
+    saves every `checkpoint_every` steps.
+    metrics_jsonl: if given, per-step metrics stream to this JSONL file.
+    """
+    from drt_tpu.utils.logging import MetricsLogger
+
     optimizer = optax.adam(learning_rate)
     step_fn = make_train_step(scene, cfg, cam, target, optimizer, mesh=mesh,
                               backend=backend)
     state = init_state(init_params, optimizer)
+    start = 0
+    if checkpoint_dir is not None:
+        import pathlib
+
+        from drt_tpu.utils.checkpoint import restore_orbax, save_orbax
+        mgr_dir = pathlib.Path(checkpoint_dir)
+        has_ckpt = (mgr_dir.exists()
+                    and any(p.is_dir() for p in mgr_dir.iterdir()))
+        if has_ckpt:
+            state, key, start = restore_orbax(checkpoint_dir, state)
+
+    mlog = MetricsLogger(metrics_jsonl) if (metrics_jsonl or log_every) \
+        else None
     losses, grad_norms = [], []
-    for i in range(steps):
+    for i in range(start, steps):
         state, metrics = step_fn(state, jax.random.fold_in(key, i))
         losses.append(metrics["loss"])
         grad_norms.append(metrics["grad_norm"])
-        if log_every and (i % log_every == 0 or i == steps - 1):
+        if mlog and log_every and (i % log_every == 0 or i == steps - 1):
+            mlog.log(i, loss=metrics["loss"],
+                     grad_norm=metrics["grad_norm"])
+        elif log_every and (i % log_every == 0 or i == steps - 1):
             msg = f"step {i:4d} loss {float(metrics['loss']):.6g}"
             (logger or print)(msg)
+        if (checkpoint_dir is not None and checkpoint_every
+                and ((i + 1) % checkpoint_every == 0 or i == steps - 1)):
+            save_orbax(checkpoint_dir, state, key, step=i + 1)
+    if mlog:
+        mlog.close()
+    if not losses:  # fully resumed past `steps`
+        return state.params, {"loss": jnp.zeros(0), "grad_norm": jnp.zeros(0)}
     return state.params, {
         "loss": jnp.stack(losses),
         "grad_norm": jnp.stack(grad_norms),
