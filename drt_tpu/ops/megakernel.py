@@ -78,6 +78,39 @@ def _dot(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
+def _mul_lit(arr, c: float):
+    """arr * literal with exact folding: drops 0-terms, folds +/-1.
+    Bit-exact vs the unfolded form for finite arr (all per-ray operands
+    here are sanitized finite)."""
+    if c == 0.0:
+        return None
+    if c == 1.0:
+        return arr
+    if c == -1.0:
+        return -arr
+    return arr * c
+
+
+def _dot_lit(vx, vy, vz, c):
+    """dot((vx,vy,vz), literal 3-vector) with zero-term elimination,
+    preserving x->y->z addition order for the surviving terms."""
+    total = None
+    for t in (_mul_lit(vx, float(c[0])), _mul_lit(vy, float(c[1])),
+              _mul_lit(vz, float(c[2]))):
+        if t is None:
+            continue
+        total = t if total is None else total + t
+    return 0.0 if total is None else total
+
+
+def _axpy_lit(acc, arr, c: float):
+    """acc + arr * literal with folding; acc may be None (absent)."""
+    t = _mul_lit(arr, c)
+    if t is None:
+        return acc
+    return t if acc is None else acc + t
+
+
 def _intersect_static(ss: StaticScene, o: V3, d: V3, best_t, dtype):
     """Unrolled nearest-hit over baked shapes. Returns (best_t, hit_masks)
     where hit_masks[s] is the boolean 'nearest hit is shape s' mask
@@ -89,10 +122,12 @@ def _intersect_static(ss: StaticScene, o: V3, d: V3, best_t, dtype):
         g = ss.geo[s]
         st = ss.shape_type[s]
         if st == PLANE:
-            nx, ny, nz = (dtype(g[0]), dtype(g[1]), dtype(g[2]))
-            off = dtype(g[3])
-            h = _dot(o.x, o.y, o.z, nx, ny, nz) - off
-            denom = _dot(d.x, d.y, d.z, -nx, -ny, -nz)
+            n3 = [dtype(g[0]), dtype(g[1]), dtype(g[2])]
+            off = float(g[3])
+            h = _dot_lit(o.x, o.y, o.z, n3)
+            if off != 0.0:
+                h = h - dtype(off)
+            denom = _dot_lit(d.x, d.y, d.z, [-n3[0], -n3[1], -n3[2]])
             t = h / denom
             valid = t > 0
         elif st == SPHERE:
@@ -115,7 +150,7 @@ def _intersect_static(ss: StaticScene, o: V3, d: V3, best_t, dtype):
             px = d.y * dtype(e2[2]) - d.z * dtype(e2[1])
             py = d.z * dtype(e2[0]) - d.x * dtype(e2[2])
             pz = d.x * dtype(e2[1]) - d.y * dtype(e2[0])
-            det = _dot(px, py, pz, dtype(e1[0]), dtype(e1[1]), dtype(e1[2]))
+            det = _dot_lit(px, py, pz, e1)
             inv = 1.0 / det
             tvx, tvy, tvz = (o.x - dtype(v0[0]), o.y - dtype(v0[1]),
                              o.z - dtype(v0[2]))
@@ -125,7 +160,7 @@ def _intersect_static(ss: StaticScene, o: V3, d: V3, best_t, dtype):
             qy = tvz * dtype(e1[0]) - tvx * dtype(e1[2])
             qz = tvx * dtype(e1[1]) - tvy * dtype(e1[0])
             v = _dot(d.x, d.y, d.z, qx, qy, qz) * inv
-            t = _dot(dtype(e2[0]), dtype(e2[1]), dtype(e2[2]), qx, qy, qz)
+            t = _dot_lit(qx, qy, qz, e2)
             t = t * inv
             valid = ((jnp.abs(det) > _TRI_DET_EPS) & (u >= 0) & (v >= 0)
                      & (u + v <= 1) & (t > 0))
@@ -511,10 +546,22 @@ def _camera_rays_static(sc: StaticCamera, spp_c: int, tile_rows: int,
     a = (2.0 * s - 1.0) * dtype(sc.aspect * sc.half)
     b = (2.0 * t - 1.0) * dtype(sc.half)
     # d = normalize(forward + right * a - up * b)  (t-axis uses -up,
-    # camera.hpp:57)
-    dx = dtype(sc.forward[0]) + dtype(sc.right[0]) * a - dtype(sc.up[0]) * b
-    dy = dtype(sc.forward[1]) + dtype(sc.right[1]) * a - dtype(sc.up[1]) * b
-    dz = dtype(sc.forward[2]) + dtype(sc.right[2]) * a - dtype(sc.up[2]) * b
+    # camera.hpp:57). The basis usually has exact-zero components (e.g.
+    # the sample app's axis-aligned camera) — fold those terms away.
+    def comp(i):
+        # Order-preserving fold of f + (r*a) + (-u*b): dropping exact-zero
+        # terms is bit-exact; surviving terms keep their addition order.
+        f = float(sc.forward[i])
+        acc = None if f == 0.0 else dtype(f)
+        acc = _axpy_lit(acc, a, float(sc.right[i]))
+        acc = _axpy_lit(acc, b, -float(sc.up[i]))
+        if acc is None:
+            return jnp.zeros(shape, dtype)
+        if not hasattr(acc, "shape") or acc.shape != shape:
+            return jnp.broadcast_to(jnp.asarray(acc, dtype), shape)
+        return acc
+
+    dx, dy, dz = comp(0), comp(1), comp(2)
     inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
     d = V3(dx * inv, dy * inv, dz * inv)
     o = V3(jnp.full(shape, dtype(sc.eye[0]), dtype),
