@@ -1,3 +1,3 @@
-from drt_tpu.models import cbox
+from drt_tpu.models import cbox, gallery
 
-__all__ = ["cbox"]
+__all__ = ["cbox", "gallery"]

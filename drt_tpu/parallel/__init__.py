@@ -1,3 +1,3 @@
-from drt_tpu.parallel import mesh
+from drt_tpu.parallel import mesh, multihost
 
-__all__ = ["mesh"]
+__all__ = ["mesh", "multihost"]

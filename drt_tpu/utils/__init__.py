@@ -1,3 +1,3 @@
-from drt_tpu.utils import image, logging, profiling
+from drt_tpu.utils import image, logging, profiling, debug, native
 
-__all__ = ["image", "logging", "profiling"]
+__all__ = ["image", "logging", "profiling", "debug", "native"]

@@ -81,3 +81,21 @@ def test_uneven_ray_count_rejected(setup):
     cfg = RenderConfig(width=3, height=3, spp=1, max_depth=2)
     with pytest.raises(ValueError, match="divide evenly"):
         make_renderer(scene, cfg, cam, mesh=mesh)
+
+
+def test_backend_dispatch():
+    """make_renderer backend selection: auto falls back to the XLA
+    wavefront off-TPU; the pallas backend refuses a mesh."""
+    import pytest
+
+    from drt_tpu.models import cbox
+    from drt_tpu.parallel.mesh import make_mesh
+    from drt_tpu.parallel.render import make_renderer
+
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    cfg = RenderConfig(width=8, height=6, spp=2, max_depth=2)
+    render = make_renderer(scene, cfg, cam, backend="auto")  # cpu -> xla
+    img = render(params, jax.random.key(0))
+    assert img.shape == (6, 8, 3)
+    with pytest.raises(ValueError):
+        make_renderer(scene, cfg, cam, mesh=make_mesh(), backend="pallas")
