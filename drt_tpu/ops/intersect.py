@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from drt_tpu.scene import Scene, PLANE, SPHERE, TRIANGLE
@@ -95,6 +96,30 @@ def _triangle_t(geo, o: V3, d: V3):
     return t, valid
 
 
+# Above this shape count, the nearest-hit sweep compiles as a lax.scan
+# over the scene SoA instead of a Python-unrolled chain: identical
+# numerics, O(1) compile time in shape count (the reference's analogous
+# structure is its runtime O(S) loop, pathtracer.hpp:78-80).
+UNROLL_MAX_SHAPES = 24
+
+
+def _shape_t(stype, geo, o: V3, d: V3, best_t, best_i, i):
+    """One shape's (t, valid) -> running (best_t, best_i) update."""
+    t_pl, v_pl = _plane_t(geo, o, d)
+    t_sp, v_sp = _sphere_t(geo, o, d)
+    t_tr, v_tr = _triangle_t(geo, o, d)
+    t = jnp.where(stype == PLANE, t_pl,
+                  jnp.where(stype == SPHERE, t_sp, t_tr))
+    valid = jnp.where(stype == PLANE, v_pl,
+                      jnp.where(stype == SPHERE, v_sp, v_tr))
+    # NaN t (e.g. 0/0 on a degenerate plane ray) compares False,
+    # matching the C++ comparisons (pathtracer.hpp:79); +inf t never
+    # beats the running minimum. Strict < keeps the first of tied shapes.
+    closer = valid & (t < best_t)
+    return (jnp.where(closer, t, best_t),
+            jnp.where(closer, i, best_i))
+
+
 def intersect_scene(scene: Scene, o: V3, d: V3,
                     emit_sentinel: int) -> Hit:
     """Nearest-hit over all shapes. o, d: V3 of f[N].
@@ -110,22 +135,20 @@ def intersect_scene(scene: Scene, o: V3, d: V3,
 
     best_t = jnp.full(n_rays, jnp.inf, dtype)
     best_i = jnp.zeros(n_rays, jnp.int32)
-    for i in range(n_shapes):
-        geo = geo_all[i]
-        stype = scene.shape_type[i]
-        t_pl, v_pl = _plane_t(geo, o, d)
-        t_sp, v_sp = _sphere_t(geo, o, d)
-        t_tr, v_tr = _triangle_t(geo, o, d)
-        t = jnp.where(stype == PLANE, t_pl,
-                      jnp.where(stype == SPHERE, t_sp, t_tr))
-        valid = jnp.where(stype == PLANE, v_pl,
-                          jnp.where(stype == SPHERE, v_sp, v_tr))
-        # NaN t (e.g. 0/0 on a degenerate plane ray) compares False,
-        # matching the C++ comparisons (pathtracer.hpp:79); +inf t never
-        # beats the running minimum.
-        closer = valid & (t < best_t)
-        best_t = jnp.where(closer, t, best_t)
-        best_i = jnp.where(closer, i, best_i)
+    if n_shapes <= UNROLL_MAX_SHAPES:
+        for i in range(n_shapes):
+            best_t, best_i = _shape_t(scene.shape_type[i], geo_all[i],
+                                      o, d, best_t, best_i, i)
+    else:
+        def body(carry, xs):
+            bt, bi = carry
+            stype, geo, i = xs
+            return _shape_t(stype, geo, o, d, bt, bi, i), None
+
+        (best_t, best_i), _ = jax.lax.scan(
+            body, (best_t, best_i),
+            (scene.shape_type, geo_all,
+             jnp.arange(n_shapes, dtype=jnp.int32)))
 
     hit_valid = jnp.isfinite(best_t)
     # Per-column gathers of hit geometry (each a [N] gather from a tiny

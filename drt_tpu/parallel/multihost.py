@@ -45,17 +45,16 @@ def initialize(coordinator_address: str | None = None,
                                process_id=process_id)
 
 
-def heartbeat(tag: int = 0) -> int:
+def heartbeat() -> int:
     """All-reduce a liveness counter across processes. Returns the number
     of participating processes. Raises (after the collective timeout) if
     a peer is gone — the detection signal for elastic recovery."""
-    n = jax.process_count()
-    if n == 1:
+    if jax.process_count() == 1:
         return 1
-    x = jnp.ones((), jnp.int32) + 0 * jnp.int32(tag)
-    total = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(
-        jnp.broadcast_to(x, (jax.local_device_count(),)))
-    return int(np.asarray(total)[0]) // jax.local_device_count() * 1
+    ones = jnp.ones((jax.local_device_count(),), jnp.int32)
+    total = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(ones)
+    # total = global device count; one local device per host-liveness unit
+    return int(np.asarray(total)[0]) // jax.local_device_count()
 
 
 @dataclasses.dataclass
@@ -139,7 +138,7 @@ class TileScheduler:
         return [j for j in self.jobs if j.index % n == pid]
 
 
-def make_tile_renderer(scene, cam, base_cfg, params, trace_builder=None):
+def make_tile_renderer(scene, cam, base_cfg, params):
     """Build a `render_tile(job, seed)` for TileScheduler from the
     wavefront renderer: each tile is rendered as a sub-image with its own
     pixel grid offset (pure in (job, seed) -> idempotent re-dispatch)."""
