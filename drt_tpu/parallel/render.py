@@ -36,9 +36,12 @@ def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
     VMEM residuals grow with max_depth), else xla.
     """
     if backend == "auto":
+        # Kernel compile time grows with unrolled depth (~8 s fwd / ~10 s
+        # adjoint at depth 32 on v5e) — acceptable through the CLI's
+        # default depth; beyond that fall back to the scan-based XLA path.
         backend = ("pallas" if (mesh is None
                                 and jax.default_backend() == "tpu"
-                                and cfg.max_depth <= 8) else "xla")
+                                and cfg.max_depth <= 32) else "xla")
     if backend == "pallas":
         if mesh is not None:
             raise ValueError("pallas backend is single-chip; use the xla "
