@@ -377,21 +377,30 @@ def _albedo_select(ss: StaticScene, masks, alb_ref, shape, dtype) -> V3:
 
 
 def _wavefront_body(ss: StaticScene, cfg: RenderConfig, alb_ref, emis_ref,
-                    o: V3, d: V3, get_u, dtype, on_residual=None) -> V3:
-    """The full bounce loop on one VMEM-resident ray tile. get_u(b) ->
-    (u_rr, u1, u2). on_residual(b, P, sc, gate, masks): store adjoint
-    residuals. Returns the radiance V3 (mirrors drt_tpu/renderer.py
-    _bounce, which cites pathtracer.hpp)."""
+                    o: V3, d: V3, get_u, dtype, on_residual=None,
+                    b_start: int = 0, b_end: int | None = None,
+                    T: V3 | None = None, alive=None, full_output=False):
+    """The bounce loop over [b_start, b_end) on one VMEM-resident ray
+    tile. get_u(lb) -> (u_rr, u1, u2), indexed by the segment-LOCAL
+    bounce lb; Russian roulette uses the absolute depth b_start + lb.
+    on_residual(lb, P, sc, gate, masks): store adjoint residuals.
+    T / alive: entry throughput & liveness (segment continuation; default
+    fresh rays). Returns the segment radiance V3, or with full_output the
+    tuple (L, o, d, T, alive) for segment chaining (mirrors
+    drt_tpu/renderer.py _bounce, which cites pathtracer.hpp)."""
+    b_end = cfg.max_depth if b_end is None else b_end
     shape = o.x.shape
     one = jnp.ones(shape, dtype)
     zero = jnp.zeros(shape, dtype)
-    T = V3(one, one, one)
+    if T is None:
+        T = V3(one, one, one)
+    if alive is None:
+        alive = jnp.ones(shape, bool)
     L = V3(zero, zero, zero)
-    alive = jnp.ones(shape, bool)
     inv_keep = dtype(1.0 / (1.0 - cfg.absorb_prob))
 
-    for b in range(cfg.max_depth):
-        u_rr, u1, u2 = get_u(b)
+    for lb, b in enumerate(range(b_start, b_end)):
+        u_rr, u1, u2 = get_u(lb)
         if b >= cfg.min_bounces:
             alive = alive & ~(u_rr < cfg.absorb_prob)
             rr_scale = inv_keep
@@ -422,7 +431,7 @@ def _wavefront_body(ss: StaticScene, cfg: RenderConfig, alb_ref, emis_ref,
         sc = jnp.where(alive, sc_raw, dtype(0.0))
 
         if on_residual is not None:
-            on_residual(b, P, sc, gate, masks)
+            on_residual(lb, P, sc, gate, masks)
 
         a = _albedo_select(ss, masks, alb_ref, shape, dtype)
         T = V3(P.x * a.x * sc, P.y * a.y * sc, P.z * a.z * sc)
@@ -432,7 +441,101 @@ def _wavefront_body(ss: StaticScene, cfg: RenderConfig, alb_ref, emis_ref,
         d = V3(jnp.where(alive, dir_out.x, 0.0),
                jnp.where(alive, dir_out.y, 0.0),
                jnp.where(alive, dir_out.z, 0.0))
+    if full_output:
+        return L, o, d, T, alive
     return L
+
+
+def _make_residual_writer(rP_x, rP_y, rP_z, rsc, rgate, rbest, n_shapes):
+    """on_residual callback storing per-bounce adjoint residuals into the
+    VMEM scratch buffers, indexed by segment-local bounce."""
+
+    def on_residual(lb, P, sc_b, gate, masks):
+        rP_x[lb] = P.x
+        rP_y[lb] = P.y
+        rP_z[lb] = P.z
+        rsc[lb] = sc_b
+        rgate[lb] = gate
+        best = jnp.zeros(P.x.shape, jnp.int32)  # 0 = no hit
+        for s, m in enumerate(masks):
+            best = jnp.where(m, s + 1, best)
+        rbest[lb] = best
+
+    return on_residual
+
+
+def _reverse_sweep(ss: StaticScene, alb_ref, emis_ref, g: V3, scratch,
+                   seg_len: int, shape, dtype, S_end: V3 | None = None):
+    """Reverse suffix sweep over a segment's stored residuals
+    (adjoint.py _param_grads math):
+      S_lb = gate_lb (e_lb + w_lb S_{lb+1}),  w = albedo * sc
+      d emission_l += sum g.P [eid=l];  d albedo_k += sum g.P sc S [aid=k]
+    S_end seeds the recursion (the next segment's S_start; zeros for the
+    final segment). Returns (S_start, da_acc, de_acc) with the grad
+    accumulators as seg-summed scalars [rows][3]."""
+    rP_x, rP_y, rP_z, rsc, rgate, rbest = scratch
+    n_alb = alb_ref.shape[0]
+    n_emit = emis_ref.shape[0]
+    if S_end is None:
+        z = jnp.zeros(shape, dtype)
+        S = V3(z, z, z)
+    else:
+        S = S_end
+    da_acc = [[jnp.zeros((), dtype) for _ in range(3)]
+              for _ in range(n_alb)]
+    de_acc = [[jnp.zeros((), dtype) for _ in range(3)]
+              for _ in range(n_emit)]
+    for lb in reversed(range(seg_len)):
+        P = V3(rP_x[lb], rP_y[lb], rP_z[lb])
+        sc_b = rsc[lb]
+        gate = rgate[lb]
+        best = rbest[lb]
+        masks = [best == (s + 1) for s in range(ss.n_shapes)]
+        e = _emission_select(ss, masks, emis_ref, shape, dtype)
+        gP = V3(g.x * P.x, g.y * P.y, g.z * P.z)
+        _, by_alb, by_emit, _ = _class_masks(ss, masks)
+        for row, m in by_emit.items():
+            if row >= n_emit - 1:
+                continue
+            for c, gc in enumerate((gP.x, gP.y, gP.z)):
+                de_acc[row][c] = de_acc[row][c] + jnp.sum(
+                    jnp.where(m, gc, 0.0))
+        gPsS = (gP.x * sc_b * S.x, gP.y * sc_b * S.y, gP.z * sc_b * S.z)
+        for row, m in by_alb.items():
+            if row >= n_alb - 1:
+                continue
+            for c in range(3):
+                da_acc[row][c] = da_acc[row][c] + jnp.sum(
+                    jnp.where(m, gPsS[c], 0.0))
+        a = _albedo_select(ss, masks, alb_ref, shape, dtype)
+        S = V3((e.x + a.x * sc_b * S.x) * gate,
+               (e.y + a.y * sc_b * S.y) * gate,
+               (e.z + a.z * sc_b * S.z) * gate)
+    return S, da_acc, de_acc
+
+
+def _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype):
+    """Zero-init the SMEM accumulators on the first grid step, then add
+    this tile's partials (SMEM takes scalar stores only)."""
+    n_alb = da_ref.shape[0]
+    n_emit = de_ref.shape[0]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for k in range(n_alb):
+            for c in range(3):
+                da_ref[k, c] = dtype(0.0)
+        for l in range(n_emit):
+            for c in range(3):
+                de_ref[l, c] = dtype(0.0)
+
+    for k in range(n_alb):
+        for c in range(3):
+            da_ref[k, c] = da_ref[k, c] + da_acc[k][c]
+    for l in range(n_emit):
+        for c in range(3):
+            de_ref[l, c] = de_ref[l, c] + de_acc[l][c]
 
 
 def _pad_rows(n: int, tile_rows: int) -> tuple[int, int]:
@@ -730,81 +833,20 @@ def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
     tile = (tile_rows, LANES)
 
     def body(alb_ref, emis_ref, tb, get_cam_u, get_u, gx, gy, gz,
-             da_ref, de_ref, rP_x, rP_y, rP_z, rsc, rgate, rbest):
+             da_ref, de_ref, *scratch):
         dtype = gx.dtype.type
-        n_alb = alb_ref.shape[0]
-        n_emit = emis_ref.shape[0]
         i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _init():
-            for k in range(n_alb):
-                for c in range(3):
-                    da_ref[k, c] = dtype(0.0)
-            for l in range(n_emit):
-                for c in range(3):
-                    de_ref[l, c] = dtype(0.0)
-
         base_idx = (tb + i) * (tile_rows * LANES)
         u_s, u_t = get_cam_u()
         o, d = _camera_rays_static(sc, spp_c, tile_rows, base_idx,
                                    u_s, u_t, dtype)
-
-        def on_residual(b, P, sc_b, gate, masks):
-            rP_x[b] = P.x
-            rP_y[b] = P.y
-            rP_z[b] = P.z
-            rsc[b] = sc_b
-            rgate[b] = gate
-            best = jnp.zeros(P.x.shape, jnp.int32)
-            for s, m in enumerate(masks):
-                best = jnp.where(m, s + 1, best)
-            rbest[b] = best
-
+        on_residual = _make_residual_writer(*scratch, ss.n_shapes)
         _wavefront_body(ss, cfg, alb_ref, emis_ref, o, d, get_u, dtype,
                         on_residual=on_residual)
-
         g = V3(gx[...], gy[...], gz[...])
-        shape = g.x.shape
-        S = V3(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
-               jnp.zeros(shape, dtype))
-        da_acc = [[jnp.zeros((), dtype) for _ in range(3)]
-                  for _ in range(n_alb)]
-        de_acc = [[jnp.zeros((), dtype) for _ in range(3)]
-                  for _ in range(n_emit)]
-        for b in reversed(range(D)):
-            P = V3(rP_x[b], rP_y[b], rP_z[b])
-            sc_b = rsc[b]
-            gate = rgate[b]
-            best = rbest[b]
-            masks = [best == (s + 1) for s in range(ss.n_shapes)]
-            e = _emission_select(ss, masks, emis_ref, shape, dtype)
-            gP = V3(g.x * P.x, g.y * P.y, g.z * P.z)
-            _, by_alb, by_emit, _ = _class_masks(ss, masks)
-            for row, m in by_emit.items():
-                if row >= n_emit - 1:
-                    continue
-                for c, gc in enumerate((gP.x, gP.y, gP.z)):
-                    de_acc[row][c] = de_acc[row][c] + jnp.sum(
-                        jnp.where(m, gc, 0.0))
-            gPsS = (gP.x * sc_b * S.x, gP.y * sc_b * S.y, gP.z * sc_b * S.z)
-            for row, m in by_alb.items():
-                if row >= n_alb - 1:
-                    continue
-                for c in range(3):
-                    da_acc[row][c] = da_acc[row][c] + jnp.sum(
-                        jnp.where(m, gPsS[c], 0.0))
-            a = _albedo_select(ss, masks, alb_ref, shape, dtype)
-            S = V3((e.x + a.x * sc_b * S.x) * gate,
-                   (e.y + a.y * sc_b * S.y) * gate,
-                   (e.z + a.z * sc_b * S.z) * gate)
-
-        for k in range(n_alb):
-            for c in range(3):
-                da_ref[k, c] = da_ref[k, c] + da_acc[k][c]
-        for l in range(n_emit):
-            for c in range(3):
-                de_ref[l, c] = de_ref[l, c] + de_acc[l][c]
+        _, da_acc, de_acc = _reverse_sweep(ss, alb_ref, emis_ref, g,
+                                           scratch, D, g.x.shape, dtype)
+        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype)
 
     scratch = lambda dt: [  # noqa: E731
         pltpu.VMEM((D, tile_rows, LANES), dt),
@@ -906,88 +948,21 @@ def make_pallas_adjoint(scene: Scene, cfg: RenderConfig, tile_rows: int = 16,
     D = cfg.max_depth
 
     def kernel(alb_ref, emis_ref, ox, oy, oz, dx, dy, dz, u_ref,
-               gx, gy, gz, da_ref, de_ref,
-               rP_x, rP_y, rP_z, rsc, rgate, rbest):
+               gx, gy, gz, da_ref, de_ref, *scratch):
         dtype = ox.dtype.type  # scalar constructor doubling as dtype
-        n_alb = alb_ref.shape[0]
-        n_emit = emis_ref.shape[0]
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _init():
-            # SMEM accepts scalar stores only; the tables are tiny.
-            for k in range(n_alb):
-                for c in range(3):
-                    da_ref[k, c] = dtype(0.0)
-            for l in range(n_emit):
-                for c in range(3):
-                    de_ref[l, c] = dtype(0.0)
-
         o = V3(ox[...], oy[...], oz[...])
         d = V3(dx[...], dy[...], dz[...])
 
         def get_u(b):
             return u_ref[b, 0], u_ref[b, 1], u_ref[b, 2]
 
-        def on_residual(b, P, sc, gate, masks):
-            rP_x[b] = P.x
-            rP_y[b] = P.y
-            rP_z[b] = P.z
-            rsc[b] = sc
-            rgate[b] = gate
-            # Pack the nearest-hit shape id (+1, 0 = none) as int32.
-            best = jnp.zeros(P.x.shape, jnp.int32)
-            for s, m in enumerate(masks):
-                best = jnp.where(m, s + 1, best)
-            rbest[b] = best
-
+        on_residual = _make_residual_writer(*scratch, ss.n_shapes)
         _wavefront_body(ss, cfg, alb_ref, emis_ref, o, d, get_u, dtype,
                         on_residual=on_residual)
-
         g = V3(gx[...], gy[...], gz[...])
-        shape = g.x.shape
-        # Reverse suffix sweep (adjoint.py _param_grads):
-        #   S_b = gate_b * (e_b + w_b * S_{b+1}),  w_b = albedo_b * sc_b
-        #   d emission_l += sum gP_c [eid=l];  d albedo_k += sum gP sc S [aid=k]
-        S = V3(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
-               jnp.zeros(shape, dtype))
-        da_acc = [[jnp.zeros((), dtype) for _ in range(3)]
-                  for _ in range(n_alb)]
-        de_acc = [[jnp.zeros((), dtype) for _ in range(3)]
-                  for _ in range(n_emit)]
-        for b in reversed(range(D)):
-            P = V3(rP_x[b], rP_y[b], rP_z[b])
-            sc = rsc[b]
-            gate = rgate[b]
-            best = rbest[b]
-            masks = [best == (s + 1) for s in range(ss.n_shapes)]
-            e = _emission_select(ss, masks, emis_ref, shape, dtype)
-            gP = V3(g.x * P.x, g.y * P.y, g.z * P.z)
-            _, by_alb, by_emit, _ = _class_masks(ss, masks)
-            for row, m in by_emit.items():
-                if row >= n_emit - 1:
-                    continue
-                for c, gc in enumerate((gP.x, gP.y, gP.z)):
-                    de_acc[row][c] = de_acc[row][c] + jnp.sum(
-                        jnp.where(m, gc, 0.0))
-            gPsS = (gP.x * sc * S.x, gP.y * sc * S.y, gP.z * sc * S.z)
-            for row, m in by_alb.items():
-                if row >= n_alb - 1:
-                    continue
-                for c in range(3):
-                    da_acc[row][c] = da_acc[row][c] + jnp.sum(
-                        jnp.where(m, gPsS[c], 0.0))
-            a = _albedo_select(ss, masks, alb_ref, shape, dtype)
-            S = V3((e.x + a.x * sc * S.x) * gate,
-                   (e.y + a.y * sc * S.y) * gate,
-                   (e.z + a.z * sc * S.z) * gate)
-
-        for k in range(n_alb):
-            for c in range(3):
-                da_ref[k, c] = da_ref[k, c] + da_acc[k][c]
-        for l in range(n_emit):
-            for c in range(3):
-                de_ref[l, c] = de_ref[l, c] + de_acc[l][c]
+        _, da_acc, de_acc = _reverse_sweep(ss, alb_ref, emis_ref, g,
+                                           scratch, D, g.x.shape, dtype)
+        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype)
 
     def adjoint(albedo_tab, emission_tab, o: V3, d: V3, u: jnp.ndarray,
                 g: V3):
@@ -1035,6 +1010,351 @@ def make_pallas_adjoint(scene: Scene, cfg: RenderConfig, tile_rows: int = 16,
             ],
             interpret=interpret,
         )(albedo_tab, emission_tab, *args, u_tiled, *gargs)
+        return da, de
+
+    return adjoint
+
+
+# ---------------------------------------------------------------------------
+# Segmented wavefront kernels (for inter-segment ray compaction).
+#
+# Russian roulette kills ~absorb of the wavefront per bounce past
+# min_bounces, but the lockstep kernel pays for every lane at every
+# bounce. Splitting the loop into segments lets XLA-side stream
+# compaction (nonzero + gather — measured ~0.25 ms for a 4.9M-ray
+# wavefront) shrink the later segments to the surviving rays. The
+# adjoint stitches segments through the boundary suffix radiance
+# S_b = gate_b (e_b + w_b S_{b+1}): a later segment's adjoint outputs its
+# S at entry, which seeds the earlier segment's reverse sweep.
+# ---------------------------------------------------------------------------
+
+def _seg_spec_helpers(tile_rows):
+    tile = (tile_rows, LANES)
+    ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return tile, ray_spec, smem
+
+
+def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
+                              b_start: int, b_end: int,
+                              n_rays: int | None = None,
+                              tile_rows: int = 16, rng: str = "internal",
+                              interpret: bool | None = None):
+    """Forward kernel for bounces [b_start, b_end) of the wavefront.
+
+    b_start == 0 generates camera rays in-kernel; otherwise the segment
+    resumes from explicit state `(o3, d3, T3, alive_i32)` (10 arrays of
+    f[n]/i32[n], as produced by the previous segment). Unless b_end ==
+    max_depth, the final state is returned after the radiance.
+
+    internal rng: `trace(alb, emi, seeds, [state...], tile_base=0)`.
+      Bounce streams are seeded per (seeds[1], b_start, global tile), so
+      segments draw independent, replayable streams.
+    tape rng: `trace(alb, emi, [cam_u,] u, [state...], tile_base=0)` with
+      u: f[b_end - b_start, 3, n].
+    """
+    ss = StaticScene(scene)
+    sc = StaticCamera(cam, cfg.width, cfg.height)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret is True and rng == "internal":
+        interpret = pltpu.InterpretParams()
+    entry_cam = b_start == 0
+    final = b_end == cfg.max_depth
+    seg_len = b_end - b_start
+    assert 0 < seg_len and b_end <= cfg.max_depth
+    spp_c = cfg.spp // cfg.spp_chunks
+    n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays
+    rows, padded = _pad_rows(n, tile_rows)
+    grid = rows // tile_rows
+    tile, ray_spec, smem = _seg_spec_helpers(tile_rows)
+
+    n_state_in = 0 if entry_cam else 10
+    n_out = 3 if final else 13
+
+    def kernel(*refs):
+        it = iter(refs)
+        tb_ref = next(it)
+        seed_ref = next(it) if rng == "internal" else None
+        alb_ref = next(it)
+        emis_ref = next(it)
+        cu_ref = u_ref = None
+        if rng == "tape":
+            if entry_cam:
+                cu_ref = next(it)
+            u_ref = next(it)
+        state_refs = [next(it) for _ in range(n_state_in)]
+        out_refs = [next(it) for _ in range(n_out)]
+        dtype = out_refs[0].dtype.type
+        i = pl.program_id(0)
+        gi = tb_ref[0] + i
+
+        if rng == "internal":
+            if entry_cam:
+                pltpu.prng_seed(seed_ref[0], gi)
+                cam_u = _uniform_from_bits((2, tile_rows, LANES), dtype)
+            pltpu.prng_seed(seed_ref[1], b_start, gi)
+            u = _uniform_from_bits((seg_len, 3, tile_rows, LANES), dtype)
+
+            def get_u(lb):
+                return u[lb, 0], u[lb, 1], u[lb, 2]
+        else:
+            def get_u(lb):
+                return u_ref[lb, 0], u_ref[lb, 1], u_ref[lb, 2]
+
+        if entry_cam:
+            base_idx = gi * (tile_rows * LANES)
+            if rng == "internal":
+                u_s, u_t = cam_u[0], cam_u[1]
+            else:
+                u_s, u_t = cu_ref[0], cu_ref[1]
+            o, d = _camera_rays_static(sc, spp_c, tile_rows, base_idx,
+                                       u_s, u_t, dtype)
+            T = None
+            alive = None
+        else:
+            (ox, oy, oz, dx, dy, dz, tx, ty, tz, al) = state_refs
+            o = V3(ox[...], oy[...], oz[...])
+            d = V3(dx[...], dy[...], dz[...])
+            T = V3(tx[...], ty[...], tz[...])
+            alive = al[...] > 0
+
+        L, o2, d2, T2, alive2 = _wavefront_body(
+            ss, cfg, alb_ref, emis_ref, o, d, get_u, dtype,
+            b_start=b_start, b_end=b_end, T=T, alive=alive,
+            full_output=True)
+        out_refs[0][...] = L.x
+        out_refs[1][...] = L.y
+        out_refs[2][...] = L.z
+        if not final:
+            for ref, val in zip(out_refs[3:12],
+                                (o2.x, o2.y, o2.z, d2.x, d2.y, d2.z,
+                                 T2.x, T2.y, T2.z)):
+                ref[...] = val
+            out_refs[12][...] = alive2.astype(jnp.int32)
+
+    def trace(albedo_tab, emission_tab, *args, tile_base=0):
+        dtype = albedo_tab.dtype
+        tb = jnp.asarray(tile_base, jnp.int32).reshape(1)
+        it = iter(args)
+        call_args = [tb]
+        in_specs = [smem]
+        if rng == "internal":
+            call_args.append(next(it))  # seeds
+            in_specs.append(smem)
+        call_args += [albedo_tab, emission_tab]
+        in_specs += [smem, smem]
+        if rng == "tape":
+            if entry_cam:
+                cam_u = next(it)  # f[2, n]
+                cu = jnp.pad(cam_u.reshape(2, -1),
+                             ((0, 0), (0, padded - n))) \
+                    .reshape(2, rows, LANES)
+                call_args.append(cu)
+                in_specs.append(pl.BlockSpec((2, tile_rows, LANES),
+                                             lambda i: (0, i, 0),
+                                             memory_space=pltpu.VMEM))
+            u = next(it)  # f[seg_len, 3, n]
+            ut = jnp.pad(u.reshape(seg_len, 3, -1),
+                         ((0, 0), (0, 0), (0, padded - n))) \
+                .reshape(seg_len, 3, rows, LANES)
+            call_args.append(ut)
+            in_specs.append(pl.BlockSpec((seg_len, 3, tile_rows, LANES),
+                                         lambda i: (0, 0, i, 0),
+                                         memory_space=pltpu.VMEM))
+        if not entry_cam:
+            state = list(it)
+            assert len(state) == 10, len(state)
+            for c in state:
+                call_args.append(_to_tiles(c, padded, rows))
+                in_specs.append(ray_spec)
+        out_shape = ([jax.ShapeDtypeStruct((rows, LANES), dtype)] * 3
+                     if final else
+                     [jax.ShapeDtypeStruct((rows, LANES), dtype)] * 12
+                     + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)])
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=[ray_spec] * n_out,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*call_args)
+        flat = [c.reshape(padded)[:n] for c in out]
+        L = V3(*flat[:3])
+        if final:
+            return L
+        return L, tuple(flat[3:])
+
+    return trace
+
+
+def make_fused_segment_adjoint(scene: Scene, cam, cfg: RenderConfig,
+                               b_start: int, b_end: int,
+                               n_rays: int | None = None,
+                               tile_rows: int = 16, rng: str = "internal",
+                               interpret: bool | None = None):
+    """Adjoint kernel for bounces [b_start, b_end): retrace the segment
+    (replaying its streams / tape), reverse-sweep with the boundary
+    suffix radiance, and accumulate parameter-gradient partials.
+
+    Call (internal): `adj(alb, emi, seeds, [state...], g3, [S_end3],
+    tile_base=0)`; S_end present iff b_end < max_depth. Returns
+    (da, de[, S_start3]) with S_start returned iff b_start > 0.
+    Tape mode replaces seeds by ([cam_u,] u) as in the tracer.
+    """
+    ss = StaticScene(scene)
+    sc = StaticCamera(cam, cfg.width, cfg.height)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret is True and rng == "internal":
+        interpret = pltpu.InterpretParams()
+    entry_cam = b_start == 0
+    final = b_end == cfg.max_depth
+    seg_len = b_end - b_start
+    spp_c = cfg.spp // cfg.spp_chunks
+    n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays
+    rows, padded = _pad_rows(n, tile_rows)
+    grid = rows // tile_rows
+    tile, ray_spec, smem = _seg_spec_helpers(tile_rows)
+
+    n_state_in = 0 if entry_cam else 10
+    n_send_in = 0 if final else 3
+    n_sstart_out = 0 if entry_cam else 3
+
+    def kernel(*refs):
+        it = iter(refs)
+        tb_ref = next(it)
+        seed_ref = next(it) if rng == "internal" else None
+        alb_ref = next(it)
+        emis_ref = next(it)
+        cu_ref = u_ref = None
+        if rng == "tape":
+            if entry_cam:
+                cu_ref = next(it)
+            u_ref = next(it)
+        state_refs = [next(it) for _ in range(n_state_in)]
+        gx, gy, gz = (next(it) for _ in range(3))
+        send_refs = [next(it) for _ in range(n_send_in)]
+        da_ref = next(it)
+        de_ref = next(it)
+        sstart_refs = [next(it) for _ in range(n_sstart_out)]
+        scratch = list(it)
+        dtype = gx.dtype.type
+        i = pl.program_id(0)
+        gi = tb_ref[0] + i
+
+        if rng == "internal":
+            if entry_cam:
+                pltpu.prng_seed(seed_ref[0], gi)
+                cam_u = _uniform_from_bits((2, tile_rows, LANES), dtype)
+            pltpu.prng_seed(seed_ref[1], b_start, gi)
+            u = _uniform_from_bits((seg_len, 3, tile_rows, LANES), dtype)
+
+            def get_u(lb):
+                return u[lb, 0], u[lb, 1], u[lb, 2]
+        else:
+            def get_u(lb):
+                return u_ref[lb, 0], u_ref[lb, 1], u_ref[lb, 2]
+
+        if entry_cam:
+            base_idx = gi * (tile_rows * LANES)
+            if rng == "internal":
+                u_s, u_t = cam_u[0], cam_u[1]
+            else:
+                u_s, u_t = cu_ref[0], cu_ref[1]
+            o, d = _camera_rays_static(sc, spp_c, tile_rows, base_idx,
+                                       u_s, u_t, dtype)
+            T = None
+            alive = None
+        else:
+            (ox, oy, oz, dx, dy, dz, tx, ty, tz, al) = state_refs
+            o = V3(ox[...], oy[...], oz[...])
+            d = V3(dx[...], dy[...], dz[...])
+            T = V3(tx[...], ty[...], tz[...])
+            alive = al[...] > 0
+
+        on_residual = _make_residual_writer(*scratch, ss.n_shapes)
+        _wavefront_body(ss, cfg, alb_ref, emis_ref, o, d, get_u, dtype,
+                        on_residual=on_residual, b_start=b_start,
+                        b_end=b_end, T=T, alive=alive)
+
+        g = V3(gx[...], gy[...], gz[...])
+        S_end = (V3(send_refs[0][...], send_refs[1][...],
+                    send_refs[2][...]) if send_refs else None)
+        S_start, da_acc, de_acc = _reverse_sweep(
+            ss, alb_ref, emis_ref, g, scratch, seg_len, g.x.shape, dtype,
+            S_end=S_end)
+        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype)
+        if sstart_refs:
+            sstart_refs[0][...] = S_start.x
+            sstart_refs[1][...] = S_start.y
+            sstart_refs[2][...] = S_start.z
+
+    def adjoint(albedo_tab, emission_tab, *args, tile_base=0):
+        dtype = albedo_tab.dtype
+        n_alb = albedo_tab.shape[0]
+        n_emit = emission_tab.shape[0]
+        tb = jnp.asarray(tile_base, jnp.int32).reshape(1)
+        it = iter(args)
+        call_args = [tb]
+        in_specs = [smem]
+        if rng == "internal":
+            call_args.append(next(it))
+            in_specs.append(smem)
+        call_args += [albedo_tab, emission_tab]
+        in_specs += [smem, smem]
+        if rng == "tape":
+            if entry_cam:
+                cam_u = next(it)
+                cu = jnp.pad(cam_u.reshape(2, -1),
+                             ((0, 0), (0, padded - n))) \
+                    .reshape(2, rows, LANES)
+                call_args.append(cu)
+                in_specs.append(pl.BlockSpec((2, tile_rows, LANES),
+                                             lambda i: (0, i, 0),
+                                             memory_space=pltpu.VMEM))
+            u = next(it)
+            ut = jnp.pad(u.reshape(seg_len, 3, -1),
+                         ((0, 0), (0, 0), (0, padded - n))) \
+                .reshape(seg_len, 3, rows, LANES)
+            call_args.append(ut)
+            in_specs.append(pl.BlockSpec((seg_len, 3, tile_rows, LANES),
+                                         lambda i: (0, 0, i, 0),
+                                         memory_space=pltpu.VMEM))
+        rest = list(it)
+        state = rest[:n_state_in]
+        g3 = rest[n_state_in:n_state_in + 3]
+        send = rest[n_state_in + 3:]
+        assert len(g3) == 3 and len(send) == n_send_in, (len(rest),)
+        for c in state + g3 + send:
+            call_args.append(_to_tiles(c, padded, rows))
+            in_specs.append(ray_spec)
+
+        acc_a = pl.BlockSpec((n_alb, 3), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+        acc_e = pl.BlockSpec((n_emit, 3), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+        out_specs = [acc_a, acc_e] + [ray_spec] * n_sstart_out
+        out_shape = ([jax.ShapeDtypeStruct((n_alb, 3), dtype),
+                      jax.ShapeDtypeStruct((n_emit, 3), dtype)]
+                     + [jax.ShapeDtypeStruct((rows, LANES), dtype)]
+                     * n_sstart_out)
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((seg_len, tile_rows, LANES), dtype)] * 5
+            + [pltpu.VMEM((seg_len, tile_rows, LANES), jnp.int32)],
+            interpret=interpret,
+        )(*call_args)
+        da, de = out[0], out[1]
+        if n_sstart_out:
+            S = V3(*(c.reshape(padded)[:n] for c in out[2:5]))
+            return da, de, S
         return da, de
 
     return adjoint
