@@ -111,6 +111,184 @@ def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
     return render
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def make_compacted_image_renderer(scene: Scene, cam: Camera,
+                                  cfg: RenderConfig,
+                                  splits: tuple[int, ...] = None,
+                                  tile_rows: int = 16,
+                                  margin: float = 0.05,
+                                  interpret: bool | None = None):
+    """Single-chip production path with inter-segment ray compaction.
+
+    Russian roulette kills ~absorb of the wavefront per bounce past
+    min_bounces, but a lockstep kernel pays every lane at every bounce.
+    Here the bounce loop runs as segments split at `splits`; between
+    segments the surviving rays are stream-compacted (nonzero + gather,
+    ~0.25 ms for a 4.9M-ray wavefront) so later segments run on smaller
+    wavefronts with capacity n * ((1-absorb)^{RR bounces so far} +
+    margin). The backward replays each segment's PRNG stream and stitches
+    gradients through the boundary suffix radiance (see
+    ops/megakernel.py); the forward saves each chunk's compacted entry
+    states as custom-VJP residuals so the backward runs no extra forward.
+
+    Biased gradient mode only (cfg.unbiased=False): the unbiased adjoint
+    redraws samples, which would invalidate the saved compaction — use
+    make_fused_image_renderer for unbiased gradients.
+
+    Capacity overflow note: K is an analytic RR-survival bound plus
+    `margin`; overflow probability is astronomically small (Binomial
+    tails at n ~ 10^6) but nonzero — overflowing rays would be dropped.
+    """
+    from drt_tpu.ops.megakernel import (make_fused_segment_adjoint,
+                                        make_fused_segment_tracer)
+
+    if cfg.unbiased:
+        raise ValueError("compacted renderer supports biased mode only")
+    D = cfg.max_depth
+    if splits is None:
+        splits = (min(cfg.min_bounces + 1, D - 1),)
+    splits = tuple(sorted(splits))
+    assert all(0 < s < D for s in splits)
+    bounds = [0, *splits, D]
+    w, h = cfg.width, cfg.height
+    spp_c = cfg.spp // cfg.spp_chunks
+    n = w * h * spp_c
+    tile = tile_rows * 128
+
+    # Per-segment ray capacities from the analytic RR survival bound.
+    caps = [n]
+    for s in splits:
+        rr_bounces = max(0, s - cfg.min_bounces)
+        frac = (1.0 - cfg.absorb_prob) ** rr_bounces
+        caps.append(min(n, _round_up(int(np.ceil(n * (frac + margin))),
+                                     tile)))
+
+    tracers = []
+    adjoints = []
+    for i in range(len(bounds) - 1):
+        b0, b1 = bounds[i], bounds[i + 1]
+        tracers.append(make_fused_segment_tracer(
+            scene, cam, cfg, b0, b1, n_rays=caps[i], tile_rows=tile_rows,
+            rng="internal", interpret=interpret))
+        adjoints.append(make_fused_segment_adjoint(
+            scene, cam, cfg, b0, b1, n_rays=caps[i], tile_rows=tile_rows,
+            rng="internal", interpret=interpret))
+    n_seg = len(tracers)
+
+    def _chunk_seeds(seeds, c):
+        return seeds + jnp.stack([_CAM_STRIDE, _BOUNCE_STRIDE]) * c
+
+    def _pad1(x):
+        return jnp.pad(x, (0, 1))
+
+    def _forward_chunk(alb, emi, cs):
+        """Returns (L_total f32 channels [n], per-segment residuals)."""
+        dtype = alb.dtype
+        acc = [jnp.zeros(n + 1, dtype) for _ in range(3)]
+        cidx = None  # global ray index of each compacted lane
+        state = None
+        residuals = []
+        for i in range(n_seg):
+            if i == 0:
+                out = tracers[0](alb, emi, cs)
+            else:
+                out = tracers[i](alb, emi, cs, *state)
+            if i < n_seg - 1:
+                L, nxt_state = out
+            else:
+                L, nxt_state = out, None
+            for c in range(3):
+                ch = (L.x, L.y, L.z)[c]
+                if cidx is None:
+                    acc[c] = acc[c].at[:n].add(ch)
+                else:
+                    # cidx is injective into rays (only pad-slot entries
+                    # repeat), so scatter-SET into a fresh buffer + add:
+                    # TPU scatter-add serializes (~100 ms at 2.7M
+                    # indices); scatter-set measures ~0.02 ms.
+                    seg = jnp.zeros(n + 1, dtype).at[cidx].set(ch)
+                    acc[c] = acc[c] + seg
+            if nxt_state is None:
+                break
+            alive = nxt_state[9]
+            k_next = caps[i + 1]
+            fill = caps[i]  # pad slot in the CURRENT segment's space
+            idx = jnp.nonzero(alive > 0, size=k_next, fill_value=fill)[0]
+            state = [_pad1(c2)[idx] for c2 in nxt_state]
+            # Compose the global ray index; fill lanes map to the global
+            # pad slot n (they carry alive=0, so they contribute zeros).
+            cidx = (idx if cidx is None
+                    else jnp.pad(cidx, (0, 1), constant_values=n)[idx])
+            residuals.append((idx, cidx, tuple(state)))
+        return [a[:n] for a in acc], residuals
+
+    @jax.custom_vjp
+    def render(params: Params, seeds: jnp.ndarray) -> jnp.ndarray:
+        img, _ = _render_with_res(params, seeds)
+        return img
+
+    def _render_with_res(params, seeds):
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        img = jnp.zeros((h, w, 3), alb.dtype)
+        all_res = []
+        for c in range(cfg.spp_chunks):
+            chans, residuals = _forward_chunk(alb, emi,
+                                              _chunk_seeds(seeds, c))
+            chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in chans]
+            img = img + jnp.stack(chans, axis=-1)
+            all_res.append(tuple(residuals))
+        return img / cfg.spp_chunks, tuple(all_res)
+
+    def fwd(params, seeds):
+        img, all_res = _render_with_res(params, seeds)
+        return img, (params, seeds, all_res)
+
+    def bwd(res, g):
+        params, seeds, all_res = res
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        dtype = alb.dtype
+        g_pix = (g / (spp_c * cfg.spp_chunks)).astype(dtype)
+        g_flat = [jnp.tile(g_pix[:, :, c].reshape(-1), spp_c)
+                  for c in range(3)]
+        k = params.albedo.shape[0]
+        l = params.emission.shape[0]
+        da = jnp.zeros((k, 3), dtype)
+        de = jnp.zeros((l, 3), dtype)
+        for c in range(cfg.spp_chunks):
+            cs = _chunk_seeds(seeds, c)
+            residuals = all_res[c]
+            # Adjoint sweep from the LAST segment backwards, chaining S.
+            S3 = None
+            for i in reversed(range(n_seg)):
+                if i == 0:
+                    gseg = g_flat
+                    out = adjoints[0](alb, emi, cs, *gseg, *(S3 or ()))
+                    da_i, de_i = out
+                else:
+                    idx, cidx, state = residuals[i - 1]
+                    gseg = [_pad1(gc)[cidx] for gc in g_flat]
+                    out = adjoints[i](alb, emi, cs, *state, *gseg,
+                                      *(S3 or ()))
+                    da_i, de_i, S = out
+                    # Scatter S back to the previous segment's lanes.
+                    prev_cap = caps[i - 1]
+                    S3 = [jnp.zeros(prev_cap + 1, dtype).at[idx]
+                          .set(ch)[:prev_cap] for ch in S]
+                da = da + da_i[:k]
+                de = de + de_i[:l]
+        dparams = Params(albedo=da.astype(params.albedo.dtype),
+                         emission=de.astype(params.emission.dtype))
+        return (dparams, None)
+
+    render.defvjp(fwd, bwd)
+    return render
+
+
 def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
                                       cfg: RenderConfig, mesh,
                                       tile_rows: int = 16,

@@ -1093,7 +1093,11 @@ def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
             if entry_cam:
                 pltpu.prng_seed(seed_ref[0], gi)
                 cam_u = _uniform_from_bits((2, tile_rows, LANES), dtype)
-            pltpu.prng_seed(seed_ref[1], b_start, gi)
+            # Mosaic's prng_seed takes at most 2 values; fold the
+            # segment offset into the seed word (mod 2^32, signed).
+            _v = (0x6A09E667 * b_start) & 0xFFFFFFFF
+            salt = np.int32(_v - (1 << 32) if _v >= (1 << 31) else _v)
+            pltpu.prng_seed(seed_ref[1] + salt, gi)
             u = _uniform_from_bits((seg_len, 3, tile_rows, LANES), dtype)
 
             def get_u(lb):
@@ -1248,7 +1252,11 @@ def make_fused_segment_adjoint(scene: Scene, cam, cfg: RenderConfig,
             if entry_cam:
                 pltpu.prng_seed(seed_ref[0], gi)
                 cam_u = _uniform_from_bits((2, tile_rows, LANES), dtype)
-            pltpu.prng_seed(seed_ref[1], b_start, gi)
+            # Mosaic's prng_seed takes at most 2 values; fold the
+            # segment offset into the seed word (mod 2^32, signed).
+            _v = (0x6A09E667 * b_start) & 0xFFFFFFFF
+            salt = np.int32(_v - (1 << 32) if _v >= (1 << 31) else _v)
+            pltpu.prng_seed(seed_ref[1] + salt, gi)
             u = _uniform_from_bits((seg_len, 3, tile_rows, LANES), dtype)
 
             def get_u(lb):
