@@ -141,6 +141,15 @@ def make_compacted_image_renderer(scene: Scene, cam: Camera,
     Capacity overflow note: K is an analytic RR-survival bound plus
     `margin`; overflow probability is astronomically small (Binomial
     tails at n ~ 10^6) but nonzero — overflowing rays would be dropped.
+
+    STATUS — EXPERIMENTAL, measured NON-PROFITABLE on TPU v5e: the
+    numerics are exact (tests/test_segments.py; on-chip 0.999 pixel
+    correlation, FD grads to 5e-5) but XLA gathers/scatters at this size
+    execute at ~0.8 GB/s on this stack (~24 ms per 2.7M-element gather,
+    ~44 ms per nonzero), so a compaction step costs ~300 ms/chunk against
+    ~2.5 ms of saved kernel time — at ANY depth. Kept as the reference
+    implementation of wavefront compaction + segment-adjoint stitching;
+    use make_fused_image_renderer for production (docs/KERNELS.md).
     """
     from drt_tpu.ops.megakernel import (make_fused_segment_adjoint,
                                         make_fused_segment_tracer)
