@@ -708,96 +708,13 @@ def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,
       (device_index * local_tiles) so ray->pixel mapping and PRNG streams
       are globally consistent and collision-free across shards.
 
-    Returns radiance V3 of f[n_rays].
+    Returns radiance V3 of f[n_rays]. (Thin wrapper over the
+    [0, max_depth) segment kernel — identical streams and signature;
+    the segment offset salt is 0 at b_start = 0.)
     """
-    ss = StaticScene(scene)
-    sc = StaticCamera(cam, cfg.width, cfg.height)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    if interpret is True and rng == "internal":
-        # Plain interpret=True has no rule for the TPU PRNG primitives;
-        # the TPU interpreter stubs them (bits = 0 -> u = 0).
-        interpret = pltpu.InterpretParams()
-    D = cfg.max_depth
-    spp_c = cfg.spp // cfg.spp_chunks
-    n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays
-    rows, padded = _pad_rows(n, tile_rows)
-    grid = rows // tile_rows
-    tile = (tile_rows, LANES)
-
-    def body(alb_ref, emis_ref, tb, get_cam_u, get_u, lx, ly, lz):
-        dtype = lx.dtype.type
-        i = pl.program_id(0)
-        base_idx = (tb + i) * (tile_rows * LANES)
-        u_s, u_t = get_cam_u()
-        o, d = _camera_rays_static(sc, spp_c, tile_rows, base_idx,
-                                   u_s, u_t, dtype)
-        L = _wavefront_body(ss, cfg, alb_ref, emis_ref, o, d, get_u, dtype)
-        lx[...] = L.x
-        ly[...] = L.y
-        lz[...] = L.z
-
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    if rng == "internal":
-        def kernel(tb_ref, seed_ref, alb_ref, emis_ref, lx, ly, lz):
-            gi = tb_ref[0] + pl.program_id(0)  # global tile id
-            pltpu.prng_seed(seed_ref[0], gi)
-            cam_u = _uniform_from_bits((2, tile_rows, LANES), lx.dtype.type)
-            pltpu.prng_seed(seed_ref[1], gi)
-            u = _uniform_from_bits((D, 3, tile_rows, LANES), lx.dtype.type)
-            body(alb_ref, emis_ref, tb_ref[0],
-                 lambda: (cam_u[0], cam_u[1]),
-                 lambda b: (u[b, 0], u[b, 1], u[b, 2]), lx, ly, lz)
-
-        def trace(albedo_tab, emission_tab, seeds, tile_base=0) -> V3:
-            dtype = albedo_tab.dtype
-            tb = jnp.asarray(tile_base, jnp.int32).reshape(1)
-            out = pl.pallas_call(
-                kernel,
-                grid=(grid,),
-                in_specs=[smem] * 4,
-                out_specs=[pl.BlockSpec(tile, lambda i: (i, 0),
-                                        memory_space=pltpu.VMEM)] * 3,
-                out_shape=[jax.ShapeDtypeStruct((rows, LANES), dtype)] * 3,
-                interpret=interpret,
-            )(tb, seeds, albedo_tab, emission_tab)
-            return V3(*(c.reshape(padded)[:n] for c in out))
-    else:
-        def kernel(tb_ref, alb_ref, emis_ref, cu_ref, u_ref, lx, ly, lz):
-            body(alb_ref, emis_ref, tb_ref[0],
-                 lambda: (cu_ref[0], cu_ref[1]),
-                 lambda b: (u_ref[b, 0], u_ref[b, 1], u_ref[b, 2]),
-                 lx, ly, lz)
-
-        def trace(albedo_tab, emission_tab, cam_u, u, tile_base=0) -> V3:
-            dtype = albedo_tab.dtype
-            tb = jnp.asarray(tile_base, jnp.int32).reshape(1)
-            cu = jnp.pad(cam_u.reshape(2, -1), ((0, 0), (0, padded - n))) \
-                .reshape(2, rows, LANES)
-            ut = jnp.pad(u.reshape(D, 3, -1),
-                         ((0, 0), (0, 0), (0, padded - n))) \
-                .reshape(D, 3, rows, LANES)
-            out = pl.pallas_call(
-                kernel,
-                grid=(grid,),
-                in_specs=[
-                    smem, smem, smem,
-                    pl.BlockSpec((2, tile_rows, LANES),
-                                 lambda i: (0, i, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((D, 3, tile_rows, LANES),
-                                 lambda i: (0, 0, i, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=[pl.BlockSpec(tile, lambda i: (i, 0),
-                                        memory_space=pltpu.VMEM)] * 3,
-                out_shape=[jax.ShapeDtypeStruct((rows, LANES), dtype)] * 3,
-                interpret=interpret,
-            )(tb, albedo_tab, emission_tab, cu, ut)
-            return V3(*(c.reshape(padded)[:n] for c in out))
-
-    return trace
+    return make_fused_segment_tracer(scene, cam, cfg, 0, cfg.max_depth,
+                                     n_rays=n_rays, tile_rows=tile_rows,
+                                     rng=rng, interpret=interpret)
 
 
 def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
@@ -816,118 +733,20 @@ def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
     rng="tape": `adj(albedo_tab, emission_tab, cam_u, u, g, tile_base=0)`.
 
     n_rays / tile_base: see make_fused_tracer — shard_map support.
+    (Thin wrapper over the [0, max_depth) segment adjoint.)
     """
-    ss = StaticScene(scene)
-    sc = StaticCamera(cam, cfg.width, cfg.height)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    if interpret is True and rng == "internal":
-        # Plain interpret=True has no rule for the TPU PRNG primitives;
-        # the TPU interpreter stubs them (bits = 0 -> u = 0).
-        interpret = pltpu.InterpretParams()
-    D = cfg.max_depth
-    spp_c = cfg.spp // cfg.spp_chunks
-    n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays
-    rows, padded = _pad_rows(n, tile_rows)
-    grid = rows // tile_rows
-    tile = (tile_rows, LANES)
-
-    def body(alb_ref, emis_ref, tb, get_cam_u, get_u, gx, gy, gz,
-             da_ref, de_ref, *scratch):
-        dtype = gx.dtype.type
-        i = pl.program_id(0)
-        base_idx = (tb + i) * (tile_rows * LANES)
-        u_s, u_t = get_cam_u()
-        o, d = _camera_rays_static(sc, spp_c, tile_rows, base_idx,
-                                   u_s, u_t, dtype)
-        on_residual = _make_residual_writer(*scratch, ss.n_shapes)
-        _wavefront_body(ss, cfg, alb_ref, emis_ref, o, d, get_u, dtype,
-                        on_residual=on_residual)
-        g = V3(gx[...], gy[...], gz[...])
-        _, da_acc, de_acc = _reverse_sweep(ss, alb_ref, emis_ref, g,
-                                           scratch, D, g.x.shape, dtype)
-        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype)
-
-    scratch = lambda dt: [  # noqa: E731
-        pltpu.VMEM((D, tile_rows, LANES), dt),
-        pltpu.VMEM((D, tile_rows, LANES), dt),
-        pltpu.VMEM((D, tile_rows, LANES), dt),
-        pltpu.VMEM((D, tile_rows, LANES), dt),
-        pltpu.VMEM((D, tile_rows, LANES), dt),
-        pltpu.VMEM((D, tile_rows, LANES), jnp.int32),
-    ]
-    ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    def _call(kernel, dtype, n_alb, n_emit, in_specs, args):
-        acc_a = pl.BlockSpec((n_alb, 3), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM)
-        acc_e = pl.BlockSpec((n_emit, 3), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM)
-        return pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            in_specs=in_specs,
-            out_specs=[acc_a, acc_e],
-            out_shape=[jax.ShapeDtypeStruct((n_alb, 3), dtype),
-                       jax.ShapeDtypeStruct((n_emit, 3), dtype)],
-            scratch_shapes=scratch(dtype),
-            interpret=interpret,
-        )(*args)
-
-    def _pad_g(g: V3):
-        return [_to_tiles(c, padded, rows) for c in (g.x, g.y, g.z)]
-
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-
+    seg = make_fused_segment_adjoint(scene, cam, cfg, 0, cfg.max_depth,
+                                     n_rays=n_rays, tile_rows=tile_rows,
+                                     rng=rng, interpret=interpret)
     if rng == "internal":
-        def kernel(tb_ref, seed_ref, alb_ref, emis_ref, gx, gy, gz,
-                   da_ref, de_ref, *scr):
-            gi = tb_ref[0] + pl.program_id(0)  # global tile id
-            pltpu.prng_seed(seed_ref[0], gi)
-            cam_u = _uniform_from_bits((2, tile_rows, LANES), gx.dtype.type)
-            pltpu.prng_seed(seed_ref[1], gi)
-            u = _uniform_from_bits((D, 3, tile_rows, LANES), gx.dtype.type)
-            body(alb_ref, emis_ref, tb_ref[0],
-                 lambda: (cam_u[0], cam_u[1]),
-                 lambda b: (u[b, 0], u[b, 1], u[b, 2]),
-                 gx, gy, gz, da_ref, de_ref, *scr)
-
         def adjoint(albedo_tab, emission_tab, seeds, g: V3, tile_base=0):
-            tb = jnp.asarray(tile_base, jnp.int32).reshape(1)
-            in_specs = [smem] * 4 + [ray_spec] * 3
-            return _call(kernel, albedo_tab.dtype, albedo_tab.shape[0],
-                         emission_tab.shape[0], in_specs,
-                         (tb, seeds, albedo_tab, emission_tab, *_pad_g(g)))
+            return seg(albedo_tab, emission_tab, seeds, g.x, g.y, g.z,
+                       tile_base=tile_base)
     else:
-        def kernel(tb_ref, alb_ref, emis_ref, cu_ref, u_ref, gx, gy, gz,
-                   da_ref, de_ref, *scr):
-            body(alb_ref, emis_ref, tb_ref[0],
-                 lambda: (cu_ref[0], cu_ref[1]),
-                 lambda b: (u_ref[b, 0], u_ref[b, 1], u_ref[b, 2]),
-                 gx, gy, gz, da_ref, de_ref, *scr)
-
         def adjoint(albedo_tab, emission_tab, cam_u, u, g: V3,
                     tile_base=0):
-            tb = jnp.asarray(tile_base, jnp.int32).reshape(1)
-            cu = jnp.pad(cam_u.reshape(2, -1), ((0, 0), (0, padded - n))) \
-                .reshape(2, rows, LANES)
-            ut = jnp.pad(u.reshape(D, 3, -1),
-                         ((0, 0), (0, 0), (0, padded - n))) \
-                .reshape(D, 3, rows, LANES)
-            in_specs = [
-                smem, smem, smem,
-                pl.BlockSpec((2, tile_rows, LANES), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((D, 3, tile_rows, LANES),
-                             lambda i: (0, 0, i, 0),
-                             memory_space=pltpu.VMEM),
-                *[ray_spec] * 3,
-            ]
-            return _call(kernel, albedo_tab.dtype, albedo_tab.shape[0],
-                         emission_tab.shape[0], in_specs,
-                         (tb, albedo_tab, emission_tab, cu, ut,
-                          *_pad_g(g)))
-
+            return seg(albedo_tab, emission_tab, cam_u, u, g.x, g.y, g.z,
+                       tile_base=tile_base)
     return adjoint
 
 
