@@ -32,8 +32,6 @@ semantics of the reference's `IntegrateBackward`.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -31,7 +31,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from drt_tpu.scene import Scene, PLANE, SPHERE, TRIANGLE
+from drt_tpu.scene import Scene, PLANE, SPHERE
 from drt_tpu.ops.vecmath import V3, crossv, dotv, normalizev, wherev
 
 _TRI_DET_EPS = 1e-9

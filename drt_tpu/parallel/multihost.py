@@ -21,7 +21,6 @@ thread, src/render.cpp:72-86). The TPU-native equivalents provided here:
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Callable
 
 import numpy as np

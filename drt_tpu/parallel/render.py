@@ -8,8 +8,6 @@ the reference has no parallel analogue — src/render.cpp:72-86 is serial).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh

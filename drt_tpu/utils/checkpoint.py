@@ -14,7 +14,6 @@ import jax
 import numpy as np
 
 from drt_tpu.optim import TrainState
-from drt_tpu.scene import Params
 
 
 def save(path: str, state: TrainState, key) -> None:

@@ -11,7 +11,6 @@ in tests/staging, and cheap assert helpers for scene construction.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.experimental import checkify
 
 from drt_tpu.scene import Params, Scene
