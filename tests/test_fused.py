@@ -192,3 +192,35 @@ def test_sharded_fused_structure_on_virtual_mesh():
     assert np.isfinite(np.asarray(img)).all()
     g = jax.grad(lambda p: render(p, seeds).sum())(params)
     assert np.isfinite(np.asarray(g.albedo)).all()
+
+
+def test_fused_min_bounces_zero_matches_xla():
+    """Russian roulette from bounce 0 (reference -b 0) through the fused
+    kernel, tape-exact vs the XLA path."""
+    cfg = RenderConfig(width=8, height=6, spp=4, max_depth=3,
+                       min_bounces=0, absorb_prob=0.3)
+    scene, params, cam, n, cam_u, o, d, tape = _setup(cfg, seed=13)
+    L_ref = trace_rays(params, scene, o, d, None, cfg, tape=tape)
+    tracer = make_fused_tracer(scene, cam, cfg, tile_rows=2, rng="tape",
+                               interpret=True)
+    L_pal = tracer(albedo_table(scene, params),
+                   emission_table(scene, params), cam_u.T, tape)
+    for r, p in zip(L_ref, L_pal):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_fused_image_renderer_odd_sizes():
+    """Image sizes whose ray count doesn't fill whole tiles exercise the
+    padding path of the fused image renderer (structure only on CPU)."""
+    from drt_tpu.fused import make_fused_image_renderer, seeds_from_key
+
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    cfg = RenderConfig(width=13, height=7, spp=3, max_depth=2)
+    render = make_fused_image_renderer(scene, cam, cfg, tile_rows=1)
+    img = render(params, seeds_from_key(jax.random.key(0)))
+    assert img.shape == (7, 13, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    g = jax.grad(lambda p: render(p, seeds_from_key(
+        jax.random.key(0))).sum())(params)
+    assert np.isfinite(np.asarray(g.albedo)).all()
