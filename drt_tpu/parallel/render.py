@@ -29,23 +29,42 @@ def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
     are replicated; gradients of the returned function psum over the mesh.
 
     backend: "xla" = the shardable wavefront scan; "pallas" = the fused
-    single-chip megakernel pipeline (drt_tpu/fused.py); "auto" picks
-    pallas on single-chip TPU at moderate depth (kernel compile time and
-    VMEM residuals grow with max_depth), else xla.
+    single-chip megakernel pipeline (drt_tpu/fused.py); "pallas-sharded"
+    = the fused kernels per shard under shard_map; "auto" picks a fused
+    path on TPU at moderate depth (kernel compile time and VMEM residuals
+    grow with max_depth) when the ray count tiles over the mesh, else xla.
     """
     if backend == "auto":
         # Kernel compile time grows with unrolled depth (~8 s fwd / ~10 s
         # adjoint at depth 32 on v5e) — acceptable through the CLI's
         # default depth; beyond that fall back to the scan-based XLA path.
-        backend = ("pallas" if (mesh is None
-                                and jax.default_backend() == "tpu"
-                                and cfg.max_depth <= 32) else "xla")
+        fused_ok = (jax.default_backend() == "tpu"
+                    and cfg.max_depth <= 32)
+        if mesh is None:
+            backend = "pallas" if fused_ok else "xla"
+        else:
+            n_dev = int(mesh.devices.size)
+            n_rays = cfg.width * cfg.height * (cfg.spp // cfg.spp_chunks)
+            tiles_ok = n_rays % (n_dev * 16 * 128) == 0
+            backend = ("pallas-sharded" if (fused_ok and tiles_ok)
+                       else "xla")
     if backend == "pallas":
         if mesh is not None:
-            raise ValueError("pallas backend is single-chip; use the xla "
-                             "backend for mesh-sharded rendering")
+            raise ValueError("pallas backend is single-chip; use "
+                             "pallas-sharded or xla for meshes")
         from drt_tpu.fused import make_fused_image_renderer, seeds_from_key
         fused = make_fused_image_renderer(scene, cam, cfg)
+
+        def render(params: Params, key) -> jnp.ndarray:
+            return fused(params, seeds_from_key(key))
+
+        return jax.jit(render)
+    if backend == "pallas-sharded":
+        if mesh is None:
+            raise ValueError("pallas-sharded backend requires a mesh")
+        from drt_tpu.fused import (make_sharded_fused_image_renderer,
+                                   seeds_from_key)
+        fused = make_sharded_fused_image_renderer(scene, cam, cfg, mesh)
 
         def render(params: Params, key) -> jnp.ndarray:
             return fused(params, seeds_from_key(key))
