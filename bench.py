@@ -110,6 +110,104 @@ def measure_ours() -> dict:
     return out
 
 
+def measure_extra_configs(on_tpu: bool) -> dict:
+    """BASELINE.json configs 1, 3, 4, 5 (config 2 is the headline).
+
+    1: direct lighting (depth-2), 16 spp, forward Mrays/s.
+    3: gradient check — radiative-backprop gradient image vs the
+       forward-mode (dual-number) ground truth, max relative error.
+    4: inverse rendering — steps/s and recovered-parameter max error.
+    5: megapixel 2048x2048 fwd+bwd Mrays/s (TPU only: ~67M rays).
+    """
+    import dataclasses
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from drt_tpu.config import RenderConfig
+    from drt_tpu.gradcheck import grad_image, grad_image_fwd
+    from drt_tpu.models import cbox
+    from drt_tpu.optim import init_state, make_train_step
+    from drt_tpu.parallel.render import make_renderer
+    from drt_tpu.scene import Params
+
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    out = {}
+
+    def time_best(fn, *args, reps=3):
+        jax.block_until_ready(fn(*args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # Config 1: direct lighting (1 bounce => depth 2), 16 spp forward.
+    cfg1 = RenderConfig(width=WIDTH, height=HEIGHT, spp=16, max_depth=2,
+                        min_bounces=MIN_BOUNCES, absorb_prob=ABSORB)
+    r1 = make_renderer(scene, cfg1, cam, differentiable=False)
+    t1 = time_best(r1, params, jax.random.key(0))
+    out["direct_16spp_fwd_mrays_s"] = round(WIDTH * HEIGHT * 16 / t1 / 1e6,
+                                            3)
+
+    # Config 3: gradient check (the reference's dual-number methodology).
+    cfg3 = RenderConfig(width=64, height=48, spp=8, max_depth=4)
+    key3 = jax.random.key(1)
+    g_bp = np.asarray(grad_image(scene, cam, cfg3, params, key3,
+                                 "albedo:0"))
+    g_fw = np.asarray(grad_image_fwd(scene, cam, cfg3, params, key3,
+                                     "albedo:0"))
+    scale = max(np.abs(g_fw).max(), 1e-12)
+    out["grad_image_max_rel_err"] = float(np.abs(g_bp - g_fw).max() / scale)
+
+    # Config 4: inverse rendering (shortened): steps/s + recovered max err.
+    cfg4 = RenderConfig(width=64, height=48, spp=32, max_depth=5)
+    r4 = make_renderer(scene, cfg4, cam, differentiable=False)
+    target = jax.block_until_ready(r4(params, jax.random.key(7)))
+    init = Params(albedo=jnp.full_like(params.albedo, 0.25),
+                  emission=jnp.full_like(params.emission, 0.5))
+    opt = optax.adam(4e-2)
+    step_fn = make_train_step(scene, cfg4, cam, target, opt)
+    state = init_state(init, opt)
+    state, _ = step_fn(state, jax.random.key(0))  # compile
+    jax.block_until_ready(state)
+    steps = 150 if on_tpu else 30  # CPU: keep the bench bounded
+    t0 = time.perf_counter()
+    for i in range(1, steps):
+        state, _ = step_fn(state, jax.random.fold_in(jax.random.key(0), i))
+    jax.block_until_ready(state)
+    dt4 = time.perf_counter() - t0
+    out["invert_steps_per_s"] = round((steps - 1) / dt4, 2)
+    out["invert_albedo_max_err"] = float(
+        np.abs(np.asarray(state.params.albedo)
+               - np.asarray(params.albedo)).max())
+    out["invert_emission_max_err"] = float(
+        np.abs(np.asarray(state.params.emission)
+               - np.asarray(params.emission)).max())
+
+    # Config 5: megapixel 2048^2 fwd+bwd (TPU only — 67M rays/step).
+    if on_tpu:
+        cfg5 = RenderConfig(width=2048, height=2048, spp=16,
+                            max_depth=MAX_DEPTH, min_bounces=MIN_BOUNCES,
+                            absorb_prob=ABSORB, spp_chunks=4)
+        r5 = make_renderer(scene, cfg5, cam, differentiable=True)
+
+        @jax.jit
+        def fwdbwd5(p, key):
+            return jax.value_and_grad(
+                lambda pp: r5(pp, key).sum())(p)
+
+        t5 = time_best(fwdbwd5, params, jax.random.key(0), reps=2)
+        out["megapixel_2048_fwdbwd_mrays_s"] = round(
+            2048 * 2048 * 16 / t5 / 1e6, 3)
+    else:
+        out["megapixel_2048_fwdbwd_mrays_s"] = None
+    return out
+
+
 def measure_reference() -> float | None:
     """Reference fwd+bwd throughput in Mrays/s (camera samples), or None."""
     sys.path.insert(0, "tests")
@@ -128,7 +226,10 @@ def measure_reference() -> float | None:
 
 
 def main() -> None:
+    import jax
+
     ours = measure_ours()
+    extra = measure_extra_configs(jax.default_backend() == "tpu")
     ref = measure_reference()
     vs = (ours["fwdbwd_mrays_s"] / ref) if ref else None
     print(json.dumps({
@@ -143,6 +244,7 @@ def main() -> None:
             "xla_fwd_mrays_s": round(ours["xla_fwd_mrays_s"], 3),
             "xla_fwdbwd_mrays_s": round(ours["xla_fwdbwd_mrays_s"], 3),
             "reference_fwdbwd_mrays_s": round(ref, 4) if ref else None,
+            **extra,
         },
     }))
 

@@ -34,6 +34,11 @@ def main() -> None:
     ap.add_argument("-y", "--height", type=int, default=384)
     ap.add_argument("-n", "--spp", type=int, default=8)
     ap.add_argument("--max-depth", type=int, default=4)
+    ap.add_argument("--backend", default="auto",
+                    choices=("auto", "xla", "pallas-sharded"),
+                    help="auto = the production path for the platform "
+                         "(pallas-sharded fused kernels on TPU when the "
+                         "rays tile over the mesh, xla elsewhere)")
     args = ap.parse_args()
 
     if args.virtual:
@@ -62,12 +67,16 @@ def main() -> None:
                        max_depth=args.max_depth)
     n_rays = args.width * args.height * args.spp
 
+    from drt_tpu.parallel.render import resolve_backend
+
     results = {}
+    backends = {}
     for c in counts:
         mesh = make_mesh(devices=jax.devices()[:c],
                          shape=(c, 1))
+        backends[c] = resolve_backend(scene, cfg, mesh, args.backend)
         render = make_renderer(scene, cfg, cam, mesh=mesh,
-                               differentiable=True, backend="xla")
+                               differentiable=True, backend=backends[c])
 
         def loss(p, key):
             return render(p, key).sum()
@@ -83,7 +92,8 @@ def main() -> None:
         mrays = n_rays / best / 1e6
         results[c] = mrays
         print(json.dumps({"devices": c, "fwdbwd_mrays_s": round(mrays, 3),
-                          "t_s": round(best, 4)}))
+                          "t_s": round(best, 4),
+                          "backend": backends[c]}))
 
     lo, hi = min(results), max(results)
     eff = results[hi] / (results[lo] * (hi / lo)) if hi > lo else 1.0

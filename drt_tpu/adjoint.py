@@ -40,7 +40,21 @@ from jax import lax
 from drt_tpu.camera import Camera
 from drt_tpu.config import RenderConfig
 from drt_tpu.renderer import (BWD_SALT, chunk_pixel_ids, chunk_rays,
-                              render_image, trace_rays)
+                              lane_count, render_image, trace_rays)
+
+
+def _lane_cotangent(g, cfg: RenderConfig):
+    """Expand a per-ray cotangent V3[N] to the splitting tracer's
+    per-lane V3[N*M] (radiance is the lane MEAN, so each lane gets
+    g/M). Identity at bsdf_samples == 1."""
+    from drt_tpu.ops.vecmath import V3
+
+    M = lane_count(cfg)
+    if M == 1:
+        return g
+    inv = 1.0 / M
+    return V3(jnp.repeat(g.x * inv, M), jnp.repeat(g.y * inv, M),
+              jnp.repeat(g.z * inv, M))
 from drt_tpu.scene import Params, Scene, albedo_table, emission_table
 
 
@@ -120,15 +134,32 @@ def make_diff_renderer(scene: Scene, cfg: RenderConfig, use_tape: bool = False):
 
     def bwd(res, g):
         params, orig, dir, rng = res
+        g = _lane_cotangent(g, cfg)
         if cfg.unbiased and not use_tape:
-            # Fresh-sample adjoint sweep (reference: integrate.hpp:11-24).
-            key = jax.random.fold_in(jax.random.wrap_key_data(rng), BWD_SALT)
-            brng = jax.random.key_data(key)
+            # Fresh-sample adjoint sweep (reference: integrate.hpp:11-24);
+            # integrate.hpp:15-19 loops n_samples independent draws — the
+            # adjoint_samples mean cuts unbiased-gradient variance ~1/n.
+            key0 = jax.random.wrap_key_data(rng)
+
+            def one_sample(s):
+                bk = jax.random.fold_in(key0, BWD_SALT + s)
+                _, residuals = _forward(params, orig, dir,
+                                        jax.random.key_data(bk),
+                                        collect=True)
+                return _param_grads(params, scene, residuals, g,
+                                    orig.x.dtype)
+
+            if cfg.adjoint_samples == 1:
+                dparams = one_sample(jnp.asarray(0))
+            else:
+                stacked = lax.map(one_sample,
+                                  jnp.arange(cfg.adjoint_samples))
+                dparams = jax.tree.map(lambda x: x.mean(0), stacked)
         else:
             # Replay the forward's samples (reference: integrate.hpp:26-37).
-            brng = rng
-        _, residuals = _forward(params, orig, dir, brng, collect=True)
-        dparams = _param_grads(params, scene, residuals, g, orig.x.dtype)
+            _, residuals = _forward(params, orig, dir, rng, collect=True)
+            dparams = _param_grads(params, scene, residuals, g,
+                                   orig.x.dtype)
         d_orig = jax.tree.map(jnp.zeros_like, orig)
         d_dir = jax.tree.map(jnp.zeros_like, dir)
         if use_tape:
@@ -188,14 +219,23 @@ def make_diff_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
         def chunk_grads(chunk_idx):
             ck = jax.random.fold_in(key, chunk_idx)
             o, d, pdf = chunk_rays(cam, cfg, xy_rep, ck)
-            if cfg.unbiased:
-                bk = jax.random.fold_in(ck, BWD_SALT)
-            else:
-                bk = ck
-            _, residuals = _trace(params, o, d, bk, collect=True)
             yidx, xidx = xy_rep[:, 1], xy_rep[:, 0]
             g_ray = V3(*(ident(p[yidx, xidx] / pdf) for p in g_planes))
-            return _param_grads(params, scene, residuals, g_ray, dtype)
+            g_ray = _lane_cotangent(g_ray, cfg)
+
+            def one_sample(bk):
+                _, residuals = _trace(params, o, d, bk, collect=True)
+                return _param_grads(params, scene, residuals, g_ray, dtype)
+
+            if not cfg.unbiased:
+                return one_sample(ck)
+            # integrate.hpp:15-19: average adjoint_samples fresh draws.
+            if cfg.adjoint_samples == 1:
+                return one_sample(jax.random.fold_in(ck, BWD_SALT))
+            stacked = lax.map(
+                lambda s: one_sample(jax.random.fold_in(ck, BWD_SALT + s)),
+                jnp.arange(cfg.adjoint_samples))
+            return jax.tree.map(lambda x: x.mean(0), stacked)
 
         if cfg.spp_chunks == 1:
             dparams = chunk_grads(jnp.asarray(0))

@@ -40,6 +40,17 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
                    default="auto",
                    help="auto = fused Pallas megakernels on single-chip "
                         "TPU at moderate depth, XLA wavefront otherwise")
+    p.add_argument("--unbiased", action="store_true",
+                   help="unbiased gradient mode: the backward retraces "
+                        "with fresh samples (integrate.hpp:39-52) instead "
+                        "of replaying the forward's")
+    p.add_argument("--adjoint-samples", type=int, default=1,
+                   help="fresh retraces averaged by the unbiased backward "
+                        "(integrate.hpp:15-19 n_samples)")
+    p.add_argument("--bsdf-samples", type=int, default=1,
+                   help="BSDF samples per path vertex in the forward "
+                        "estimator (integrate.hpp:56-66 n_samples; "
+                        "XLA backend, exponential in max_depth)")
 
 
 def _build(args):
@@ -50,13 +61,16 @@ def _build(args):
 
     dtype = jnp.float64 if args.f64 else jnp.float32
     scene, params, cam = cbox.build(dtype=dtype)
-    spp_chunks = args.spp_chunks
-    if args.samples % spp_chunks != 0:
-        spp_chunks = 1
+    # Invalid combinations (spp % spp_chunks, absorb_prob >= 1, ...) are
+    # rejected by RenderConfig.__post_init__ with a clear error.
     cfg = RenderConfig(width=args.width, height=args.height,
                        spp=args.samples, min_bounces=args.min_bounces,
                        absorb_prob=args.absorb_prob,
-                       max_depth=args.max_depth, spp_chunks=spp_chunks)
+                       max_depth=args.max_depth,
+                       spp_chunks=args.spp_chunks,
+                       unbiased=getattr(args, "unbiased", False),
+                       adjoint_samples=getattr(args, "adjoint_samples", 1),
+                       bsdf_samples=getattr(args, "bsdf_samples", 1))
     return scene, params, cam, cfg
 
 
@@ -92,27 +106,72 @@ def cmd_render(args) -> int:
 
 
 def cmd_grad(args) -> int:
-    """Render + parameter gradients of the mean image intensity."""
+    """Render + parameter gradients of the mean image intensity, through
+    the production backend for the platform (fused Pallas adjoint on
+    TPU; `--backend` applies to gradients, not just the forward)."""
     import jax
 
-    from drt_tpu.adjoint import make_diff_image_renderer
+    from drt_tpu.parallel.render import make_renderer, resolve_backend
 
     scene, params, cam, cfg = _build(args)
-    diff = make_diff_image_renderer(scene, cam, cfg)
-    rng = jax.random.key_data(jax.random.key(args.seed))
+    backend = resolve_backend(scene, cfg, None, args.backend)
+    print(f"gradient backend: {backend}", file=sys.stderr)
+    render = make_renderer(scene, cfg, cam, differentiable=True,
+                           backend=backend)
+    key = jax.random.key(args.seed)
 
     def loss(p):
-        return diff(p, rng).mean()
+        return render(p, key).mean()
 
     val, grads = jax.jit(jax.value_and_grad(loss))(params)
     out = {
         "mean_intensity": float(val),
         "d_albedo": np.asarray(grads.albedo).tolist(),
         "d_emission": np.asarray(grads.emission).tolist(),
+        "backend": backend,
+        "unbiased": cfg.unbiased,
     }
     with open(args.output, "w") as f:
         json.dump(out, f, indent=2)
     print(f"gradients -> {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_grad_image(args) -> int:
+    """Per-pixel gradient image d(pixel)/d(param row) — the reference's
+    headline validation artifact (README.md:138-145) — rendered BOTH by
+    radiative backprop and by forward-mode AD (the dual-number ground
+    truth), written side by side."""
+    import jax
+
+    from drt_tpu.gradcheck import grad_image, grad_image_fwd
+
+    scene, params, cam, cfg = _build(args)
+    key = jax.random.key(args.seed)
+    g_bp = np.asarray(jax.jit(
+        lambda p: grad_image(scene, cam, cfg, p, key, args.param))(params))
+    g_fw = np.asarray(jax.jit(
+        lambda p: grad_image_fwd(scene, cam, cfg, p, key,
+                                 args.param))(params))
+    diff = np.abs(g_bp - g_fw).max()
+    scale = max(np.abs(g_fw).max(), 1e-12)
+
+    def _write_pair(path, img):
+        if path.endswith(".png"):
+            # Signed map -> [0,1] around mid-gray for PNG preview.
+            from drt_tpu.utils.image import write_png
+            write_png(path, 0.5 + 0.5 * img / scale, gamma=1.0)
+        else:
+            _write(path, img)
+
+    stem, dot, ext = args.output.rpartition(".")
+    gt_path = f"{stem}-gt{dot}{ext}" if stem else f"{args.output}-gt"
+    _write_pair(args.output, g_bp)
+    _write_pair(gt_path, g_fw)
+    print(f"grad image d(pixel)/d({args.param}) -> {args.output}; "
+          f"jvp ground truth -> {gt_path}; "
+          f"max |backprop - jvp| = {diff:.3e} (scale {scale:.3e})",
+          file=sys.stderr)
     return 0
 
 
@@ -127,7 +186,8 @@ def cmd_invert(args) -> int:
     from drt_tpu.scene import Params
 
     scene, params, cam, cfg = _build(args)
-    render = make_renderer(scene, cfg, cam, differentiable=False)
+    render = make_renderer(scene, cfg, cam, differentiable=False,
+                           backend=args.backend)
     target = render(params, jax.random.key(args.seed + 1))
 
     init = Params(albedo=jnp.full_like(params.albedo, 0.25),
@@ -162,6 +222,15 @@ def main(argv=None) -> int:
     pg = sub.add_parser("grad", help="parameter gradients of mean intensity")
     _add_render_flags(pg)
     pg.set_defaults(fn=cmd_grad)
+
+    pgi = sub.add_parser(
+        "grad-image",
+        help="per-pixel gradient image d(pixel)/d(param row), with the "
+             "forward-mode (dual-number) ground-truth image beside it")
+    _add_render_flags(pgi)
+    pgi.add_argument("--param", default="albedo:0",
+                     help="parameter row, e.g. albedo:0 or emission:0")
+    pgi.set_defaults(fn=cmd_grad_image)
 
     pi = sub.add_parser("invert", help="inverse rendering recovery loop")
     _add_render_flags(pi)

@@ -38,3 +38,40 @@ class RenderConfig:
     # Number of sample-per-pixel chunks rendered sequentially (lax.map) to
     # bound live wavefront memory on large renders. spp % spp_chunks == 0.
     spp_chunks: int = 1
+    # n_samples of the reference's integration operator
+    # (include/drt/integrate.hpp:56-66), split by where it acts:
+    #   bsdf_samples    — BSDF samples drawn per path vertex in the
+    #                     forward estimator (the scattering-integral
+    #                     n_samples; the reference app instantiates 1,
+    #                     pathtracer.hpp:111). XLA path only.
+    #   adjoint_samples — fresh retraces averaged by the UNBIASED
+    #                     backward (integrate.hpp:15-19 loops n_samples
+    #                     independent draws); variance of the unbiased
+    #                     gradient scales ~1/n. Ignored in biased mode
+    #                     (the biased backward replays the forward's
+    #                     single stream, integrate.hpp:26-37).
+    bsdf_samples: int = 1
+    adjoint_samples: int = 1
+
+    def __post_init__(self):
+        if self.width <= 0 or self.height <= 0 or self.spp <= 0:
+            raise ValueError("width, height and spp must be positive")
+        if not 0.0 <= self.absorb_prob < 1.0:
+            raise ValueError(
+                f"absorb_prob must be in [0, 1): {self.absorb_prob} "
+                "(1.0 would make the RR reweighting 1/(1-absorb) infinite)")
+        if self.min_bounces < 0:
+            raise ValueError("min_bounces must be >= 0")
+        if self.max_depth <= 0:
+            raise ValueError("max_depth must be positive")
+        if self.min_bounces > self.max_depth:
+            raise ValueError(
+                f"min_bounces ({self.min_bounces}) exceeds max_depth "
+                f"({self.max_depth}): no Russian roulette would ever run "
+                "and the truncation-tail bound does not hold")
+        if self.spp_chunks <= 0 or self.spp % self.spp_chunks != 0:
+            raise ValueError(
+                f"spp ({self.spp}) must divide evenly into spp_chunks "
+                f"({self.spp_chunks})")
+        if self.bsdf_samples < 1 or self.adjoint_samples < 1:
+            raise ValueError("bsdf_samples and adjoint_samples must be >= 1")

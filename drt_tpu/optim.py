@@ -103,19 +103,19 @@ def inverse_render(scene: Scene, cfg: RenderConfig, cam: Camera,
         if has_ckpt:
             state, key, start = restore_orbax(checkpoint_dir, state)
 
-    mlog = MetricsLogger(metrics_jsonl) if (metrics_jsonl or log_every) \
-        else None
+    mlog = MetricsLogger(metrics_jsonl) if metrics_jsonl else None
     losses, grad_norms = [], []
     for i in range(start, steps):
         state, metrics = step_fn(state, jax.random.fold_in(key, i))
         losses.append(metrics["loss"])
         grad_norms.append(metrics["grad_norm"])
-        if mlog and log_every and (i % log_every == 0 or i == steps - 1):
-            mlog.log(i, loss=metrics["loss"],
-                     grad_norm=metrics["grad_norm"])
-        elif log_every and (i % log_every == 0 or i == steps - 1):
-            msg = f"step {i:4d} loss {float(metrics['loss']):.6g}"
-            (logger or print)(msg)
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            if mlog:
+                mlog.log(i, loss=metrics["loss"],
+                         grad_norm=metrics["grad_norm"])
+            else:
+                msg = f"step {i:4d} loss {float(metrics['loss']):.6g}"
+                (logger or print)(msg)
         if (checkpoint_dir is not None and checkpoint_every
                 and ((i + 1) % checkpoint_every == 0 or i == steps - 1)):
             save_orbax(checkpoint_dir, state, key, step=i + 1)

@@ -50,10 +50,13 @@ def heartbeat() -> int:
     a peer is gone — the detection signal for elastic recovery."""
     if jax.process_count() == 1:
         return 1
-    ones = jnp.ones((jax.local_device_count(),), jnp.int32)
-    total = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(ones)
-    # total = global device count; one local device per host-liveness unit
-    return int(np.asarray(total)[0]) // jax.local_device_count()
+    # Exactly one marked device per process, so the global psum counts
+    # processes directly — correct even with heterogeneous per-host
+    # device counts.
+    mark = jnp.asarray([1] + [0] * (jax.local_device_count() - 1),
+                       jnp.int32)
+    total = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(mark)
+    return int(np.asarray(total)[0])
 
 
 @dataclasses.dataclass

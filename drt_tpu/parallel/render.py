@@ -20,6 +20,30 @@ from drt_tpu.renderer import render_image, trace_rays
 from drt_tpu.scene import Params, Scene
 
 
+def resolve_backend(scene: Scene, cfg: RenderConfig, mesh: Mesh | None,
+                    backend: str = "auto") -> str:
+    """Resolve "auto" to the concrete backend make_renderer will use.
+
+    Fused Pallas paths are chosen on TPU when the config maps onto the
+    kernels: f32 scene (Mosaic has no f64), moderate unrolled depth
+    (kernel compile time grows with max_depth: ~8 s fwd / ~10 s adjoint
+    at depth 32 on v5e), single-BSDF-sample estimator (per-vertex
+    splitting is XLA-only), and — on a mesh — whole tiles per device.
+    """
+    if backend != "auto":
+        return backend
+    fused_ok = (jax.default_backend() == "tpu"
+                and cfg.max_depth <= 32
+                and scene.shape_geo.dtype == jnp.float32
+                and cfg.bsdf_samples == 1)
+    if mesh is None:
+        return "pallas" if fused_ok else "xla"
+    n_dev = int(mesh.devices.size)
+    n_rays = cfg.width * cfg.height * (cfg.spp // cfg.spp_chunks)
+    tiles_ok = n_rays % (n_dev * 16 * 128) == 0
+    return "pallas-sharded" if (fused_ok and tiles_ok) else "xla"
+
+
 def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
                   mesh: Mesh | None = None, differentiable: bool = True,
                   backend: str = "auto"):
@@ -34,20 +58,10 @@ def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
     path on TPU at moderate depth (kernel compile time and VMEM residuals
     grow with max_depth) when the ray count tiles over the mesh, else xla.
     """
-    if backend == "auto":
-        # Kernel compile time grows with unrolled depth (~8 s fwd / ~10 s
-        # adjoint at depth 32 on v5e) — acceptable through the CLI's
-        # default depth; beyond that fall back to the scan-based XLA path.
-        fused_ok = (jax.default_backend() == "tpu"
-                    and cfg.max_depth <= 32)
-        if mesh is None:
-            backend = "pallas" if fused_ok else "xla"
-        else:
-            n_dev = int(mesh.devices.size)
-            n_rays = cfg.width * cfg.height * (cfg.spp // cfg.spp_chunks)
-            tiles_ok = n_rays % (n_dev * 16 * 128) == 0
-            backend = ("pallas-sharded" if (fused_ok and tiles_ok)
-                       else "xla")
+    backend = resolve_backend(scene, cfg, mesh, backend)
+    if backend in ("pallas", "pallas-sharded") and cfg.bsdf_samples != 1:
+        raise ValueError("bsdf_samples > 1 (per-vertex splitting) is "
+                         "implemented on the xla backend only")
     if backend == "pallas":
         if mesh is not None:
             raise ValueError("pallas backend is single-chip; use "

@@ -134,11 +134,30 @@ def trace_rays(params: Params, scene: Scene, orig: jnp.ndarray,
       collect: also return per-bounce `BounceResiduals` for the adjoint.
 
     Returns radiance as a V3 of f[N], or (radiance, BounceResiduals).
+
+    bsdf_samples > 1 (the reference integration operator's n_samples,
+    include/drt/integrate.hpp:56-66, drawn per path vertex by the
+    scattering recursion pathtracer.hpp:91-111): the wavefront is
+    expanded by per-vertex splitting into bsdf_samples^(max_depth-1)
+    leaf lanes per ray — lanes sharing a digit prefix share that
+    prefix's samples, so lane-averaging reproduces the recursive
+    n-sample tree estimator exactly. Returned radiance is the per-ray
+    lane average; with collect=True the residuals stay PER-LANE
+    (f[D, N*M]) and the caller scales its cotangent by 1/M (see
+    drt_tpu/adjoint.py). Key-driven only (a 1-stream tape cannot drive a
+    branching tree).
     """
     dtype = orig.x.dtype
     n = orig.x.shape[0]
     albedo_tab = albedo_table(scene, params).astype(dtype)
     emission_tab = emission_table(scene, params).astype(dtype)
+
+    if cfg.bsdf_samples > 1:
+        if tape is not None:
+            raise ValueError("bsdf_samples > 1 is key-driven only")
+        return _trace_rays_splitting(
+            (albedo_tab, emission_tab), scene, orig, dir, key, cfg,
+            collect=collect)
 
     one = jnp.ones(n, dtype)
     zero = jnp.zeros(n, dtype)
@@ -164,6 +183,66 @@ def trace_rays(params: Params, scene: Scene, orig: jnp.ndarray,
     if collect:
         return L, BounceResiduals(*res)
     return L
+
+
+def lane_count(cfg: RenderConfig) -> int:
+    """Leaf lanes per primary ray under per-vertex splitting: bounces
+    0..max_depth-2 each branch bsdf_samples ways (the last bounce's
+    sampled direction is never traced)."""
+    return cfg.bsdf_samples ** max(cfg.max_depth - 1, 0)
+
+
+def _trace_rays_splitting(tabs, scene: Scene, orig: V3, dir: V3, key,
+                          cfg: RenderConfig, collect: bool = False):
+    """n-sample-per-vertex tree estimator (integrate.hpp:56-66 semantics)
+    as a flat wavefront over N*M leaf lanes, M = bsdf_samples^(D-1).
+
+    Lane m encodes branch digits (j_1..j_{D-1}), j_1 most significant.
+    The vertex reached at bounce b is determined by the first b digits,
+    so its RR draw is indexed by prefix p_b = m // n^(D-1-b) while the
+    bounce's (u1, u2) BSDF draw — which creates child j_{b+1} — is
+    indexed by p_{b+1}. Lanes sharing a prefix therefore share exactly
+    the samples the recursive tree shares, and the per-ray lane MEAN
+    equals the tree estimator: vertex-b emission appears in n^(D-1-b)
+    lanes, giving it weight n^(D-1-b)/n^(D-1) = n^-b — the product of b
+    nested 1/n averages."""
+    n_s = cfg.bsdf_samples
+    D = cfg.max_depth
+    M = lane_count(cfg)
+    dtype = orig.x.dtype
+    n = orig.x.shape[0]
+
+    rep = lambda c: jnp.repeat(c, M)  # noqa: E731  ray-major lane expand
+    o = V3(rep(orig.x), rep(orig.y), rep(orig.z))
+    d = V3(rep(dir.x), rep(dir.y), rep(dir.z))
+    nm = n * M
+    one = jnp.ones(nm, dtype)
+    zero = jnp.zeros(nm, dtype)
+    carry = (o, d, V3(one, one, one), V3(zero, zero, zero),
+             jnp.ones((nm,), bool))
+
+    def draw(k, count, salt):
+        """One uniform per (ray, prefix), broadcast to the M lanes."""
+        u = jax.random.uniform(jax.random.fold_in(k, salt), (n, count),
+                               dtype=dtype)
+        return jnp.repeat(u, M // count, axis=1).reshape(-1)
+
+    res_list = []
+    for b in range(D):
+        kb = jax.random.fold_in(key, b)
+        u_rr = draw(kb, min(n_s ** b, M), 0)
+        n_child = min(n_s ** (b + 1), M)
+        u1 = draw(kb, n_child, 1)
+        u2 = draw(kb, n_child, 2)
+        carry, res = _bounce(tabs, scene, cfg, carry, b, (u_rr, u1, u2))
+        res_list.append(res)
+
+    L = carry[3]
+    L_ray = V3(*(c.reshape(n, M).mean(axis=1) for c in L))
+    if collect:
+        residuals = jax.tree.map(lambda *xs: jnp.stack(xs), *res_list)
+        return L_ray, BounceResiduals(*residuals)
+    return L_ray
 
 
 def chunk_pixel_ids(cfg: RenderConfig) -> jnp.ndarray:

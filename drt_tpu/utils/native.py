@@ -10,6 +10,7 @@ bound through ctypes (no pybind11 in this environment).
 from __future__ import annotations
 
 import ctypes
+import os
 import pathlib
 import subprocess
 import threading
@@ -28,15 +29,19 @@ def _build(name: str) -> pathlib.Path | None:
     so = _BUILD_DIR / f"lib{name}.so"
     if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
         return so
-    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
-    tmp = so.with_suffix(".so.tmp")
+    # PID-unique tmp: concurrent builders (pytest-xdist, multi-host on a
+    # shared filesystem) must not clobber each other's partial writes;
+    # the final rename is atomic so the winner is always a complete .so.
+    tmp = so.with_suffix(f".so.tmp.{os.getpid()}")
     cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
            str(src), "-o", str(tmp)]
     try:
+        _BUILD_DIR.mkdir(parents=True, exist_ok=True)
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except (subprocess.SubprocessError, FileNotFoundError):
+        tmp.rename(so)
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        tmp.unlink(missing_ok=True)
         return None
-    tmp.rename(so)
     return so
 
 

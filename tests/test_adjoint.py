@@ -155,24 +155,123 @@ def test_image_renderer_grads_match_jax_grad():
 def test_unbiased_mode_agrees_in_expectation():
     """Fresh-key adjoint (reference: integrate.hpp:11-24) is a different
     estimator; averaged over many keys it must approach the biased-replay
-    gradient of the converged estimator."""
+    gradient of the converged estimator.
+
+    The tolerance is scaled to the measured standard error of the mean
+    difference (4*SE per entry), and the test asserts its own power:
+    4*SE < 10% of the gradient scale, so a 10% systematic bias in the
+    unbiased estimator necessarily fails the bound (verified by mutation:
+    scaling the unbiased grads by 1.1 trips the per-entry assert)."""
     import dataclasses
-    scene, params, cfg0, o, d, _ = _setup(width=4, height=3, spp=8)
+    # 3072 rays/trial x 200 paired trials: 4*SE lands at ~5-7% of the
+    # gradient scale, below the 10% power floor asserted below.
+    scene, params, cfg0, o, d, _ = _setup(width=16, height=12, spp=16)
     cfg_u = dataclasses.replace(cfg0, unbiased=True)
     diff_u = make_diff_renderer(scene, cfg_u)
     diff_b = make_diff_renderer(scene, cfg0)
 
-    def g_of(diff, seed):
-        rng = jax.random.key_data(jax.random.key(seed))
-        return jax.grad(lambda p: vsum(diff(p, o, d, rng)))(params)
+    def make_gfn(diff):  # jit once; trials only execute
+        return jax.jit(jax.grad(lambda p, rng: vsum(diff(p, o, d, rng))))
 
-    n_trials = 60
-    gu = [g_of(diff_u, s) for s in range(n_trials)]
-    gb = [g_of(diff_b, s) for s in range(n_trials)]
-    mean_u = np.mean([np.asarray(g.albedo) for g in gu], axis=0)
-    mean_b = np.mean([np.asarray(g.albedo) for g in gb], axis=0)
-    scale = np.abs(mean_b).max()
-    np.testing.assert_allclose(mean_u, mean_b, atol=0.35 * scale)
+    gfn_u, gfn_b = make_gfn(diff_u), make_gfn(diff_b)
+
+    def g_of(gfn, seed):
+        rng = jax.random.key_data(jax.random.key(seed))
+        return np.asarray(gfn(params, rng).albedo)
+
+    # Paired seeds: both estimators share the forward stream per seed, so
+    # the difference isolates the backward-retrace noise and the paired
+    # SE is far tighter than the marginal one.
+    n_trials = 200
+    d_pair = np.stack([g_of(gfn_u, s) - g_of(gfn_b, s)
+                       for s in range(n_trials)])
+    mean_d = d_pair.mean(axis=0)
+    se = np.sqrt(d_pair.var(axis=0) / n_trials)
+    scale = np.abs(np.stack([g_of(gfn_b, s)
+                             for s in range(n_trials)]).mean(0)).max()
+    # Power: the bound must be able to catch a 10% systematic bias.
+    assert (4.0 * se).max() < 0.10 * scale, (se.max(), scale)
+    np.testing.assert_array_less(np.abs(mean_d), 4.0 * se + 1e-12 * scale)
+
+
+def test_bsdf_samples_biased_grads_equal_jax_grad():
+    """bsdf_samples > 1 (integrate.hpp:56-66 n_samples, per-vertex tree
+    splitting): the biased custom VJP must still equal jax.grad of the
+    (splitting) forward estimator — the same identity as n=1."""
+    import dataclasses
+    scene, params, cfg0, o, d, _ = _setup(width=8, height=6, spp=4,
+                                          max_depth=4)
+    cfg = dataclasses.replace(cfg0, bsdf_samples=2)
+    key = jax.random.key(77)
+    rng = jax.random.key_data(key)
+    diff = make_diff_renderer(scene, cfg)
+
+    g_custom = jax.grad(lambda p: vsum(diff(p, o, d, rng)))(params)
+    g_ad = jax.grad(lambda p: vsum(trace_rays(p, scene, o, d, key,
+                                              cfg)))(params)
+    np.testing.assert_allclose(g_custom.albedo, g_ad.albedo, rtol=1e-10)
+    np.testing.assert_allclose(g_custom.emission, g_ad.emission,
+                               rtol=1e-10)
+    assert np.abs(np.asarray(g_custom.albedo)).max() > 1e-3
+
+
+def test_bsdf_samples_same_expectation_lower_variance():
+    """The n-sample tree estimator has the same expectation as n=1 and
+    strictly lower variance (each scattering integral is averaged over
+    n draws, integrate.hpp:62-65)."""
+    import dataclasses
+    scene, params, cfg1, o, d, _ = _setup(width=4, height=3, spp=2,
+                                          max_depth=4)
+    cfg2 = dataclasses.replace(cfg1, bsdf_samples=2)
+
+    def mean_radiance(cfg, seed):
+        L = trace_rays(params, scene, o, d, jax.random.key(seed), cfg)
+        return float((L.x + L.y + L.z).mean())
+
+    trials = 80
+    v1 = np.asarray([mean_radiance(cfg1, s) for s in range(trials)])
+    v2 = np.asarray([mean_radiance(cfg2, s + 1000)
+                     for s in range(trials)])
+    se = np.sqrt(v1.var() / trials + v2.var() / trials)
+    assert abs(v1.mean() - v2.mean()) < 4.0 * se, (
+        v1.mean(), v2.mean(), se)
+    assert v2.var() < 0.75 * v1.var(), (v1.var(), v2.var())
+
+
+def test_adjoint_samples_variance_reduction():
+    """Unbiased backward with adjoint_samples=4 (the integrate.hpp:15-19
+    n_samples loop): same gradient expectation as n=1, variance cut
+    ~1/4."""
+    import dataclasses
+    scene, params, cfg0, o, d, _ = _setup(width=4, height=3, spp=4,
+                                          max_depth=6)
+    cfg1 = dataclasses.replace(cfg0, unbiased=True)
+    cfg4 = dataclasses.replace(cfg0, unbiased=True, adjoint_samples=4)
+    diff1 = make_diff_renderer(scene, cfg1)
+    diff4 = make_diff_renderer(scene, cfg4)
+
+    def make_gfn(diff):  # jit once; trials only execute
+        return jax.jit(jax.grad(lambda p, rng: vsum(diff(p, o, d, rng))))
+
+    gfn1, gfn4 = make_gfn(diff1), make_gfn(diff4)
+
+    def g_albedo(gfn, seed):
+        rng = jax.random.key_data(jax.random.key(seed))
+        return np.asarray(gfn(params, rng).albedo)
+
+    trials = 40
+    g1 = np.stack([g_albedo(gfn1, s) for s in range(trials)])
+    g4 = np.stack([g_albedo(gfn4, s) for s in range(trials)])
+    # Forward streams are shared per seed, so the backward-retrace noise
+    # is the only difference; compare means with an SE-scaled bound.
+    se = np.sqrt(g1.var(0) / trials + g4.var(0) / trials)
+    np.testing.assert_array_less(
+        np.abs(g1.mean(0) - g4.mean(0)), 4.0 * se + 1e-12)
+    # n=4 averages 4 independent retraces: backward-sourced variance
+    # drops ~4x; total per-entry variance must drop clearly.
+    v1 = g1.var(0).mean()
+    v4 = g4.var(0).mean()
+    assert v4 < 0.6 * v1, (v1, v4)
 
 
 def test_jvp_dual_number_ground_truth():

@@ -75,3 +75,48 @@ def test_local_jobs_partition():
 
 def test_heartbeat_single_process():
     assert heartbeat() == 1
+
+
+def test_two_process_heartbeat_and_redistribution(tmp_path):
+    """REAL multi-process runtime: two local CPU processes join a
+    jax.distributed group (coordinator on localhost), heartbeat() counts
+    2 PROCESSES on both, the static tile partition is disjoint+complete
+    across them, and after process 1 exits process 0 adopts its tiles
+    and renders to full coverage (the elastic-recovery path)."""
+    import json
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free localhost port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker = pathlib.Path(__file__).parent / "multihost_worker.py"
+
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), "2", coord, str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in (0, 1)]
+    try:
+        for p in procs:
+            _, err = p.communicate(timeout=300)
+            assert p.returncode == 0, err.decode()[-2000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    r0 = json.loads((tmp_path / "p0.json").read_text())
+    r1 = json.loads((tmp_path / "p1.json").read_text())
+    assert r0["heartbeat"] == 2 and r1["heartbeat"] == 2
+    assert {r0["process_index"], r1["process_index"]} == {0, 1}
+    assert r0["process_count"] == 2
+    # Static partition: disjoint and complete over the 8 tiles.
+    assert sorted(r0["jobs"] + r1["jobs"]) == list(range(8))
+    assert not set(r0["jobs"]) & set(r1["jobs"])
+    # Survivor adopted exactly the dead peer's tiles and covered the
+    # whole image once.
+    assert sorted(r0["adopted_jobs"]) == sorted(r1["jobs"])
+    assert r0["coverage_complete"] and r0["image_finite"]

@@ -15,25 +15,26 @@ from drt_tpu.scene import Params
 
 def test_recover_albedo_and_emission():
     scene, true_params, cam = cbox.build(dtype=jnp.float32)
-    cfg = RenderConfig(width=24, height=18, spp=16, max_depth=6)
+    cfg = RenderConfig(width=24, height=18, spp=32, max_depth=6)
     render = make_renderer(scene, cfg, cam, differentiable=False)
     target = render(true_params, jax.random.key(100))
 
     init = Params(albedo=jnp.full_like(true_params.albedo, 0.25),
                   emission=jnp.full_like(true_params.emission, 0.5))
     recovered, metrics = inverse_render(
-        scene, cfg, cam, target, init, jax.random.key(0), steps=120,
+        scene, cfg, cam, target, init, jax.random.key(0), steps=200,
         learning_rate=4e-2)
 
     losses = np.asarray(metrics["loss"])
     # The paired dual-buffer loss bottoms out at the target's own MC noise
     # floor; assert substantial descent, then parameter recovery below.
     assert losses[-1] < losses[0] * 0.2, (losses[0], losses[-1])
-    # Dominant channels recovered within MC-noise tolerance.
+    # BASELINE-grade recovery (config 4): every albedo/emission channel
+    # to 0.05 absolute (measured at this config: 0.042 / 0.004).
     np.testing.assert_allclose(np.asarray(recovered.albedo),
-                               np.asarray(true_params.albedo), atol=0.12)
+                               np.asarray(true_params.albedo), atol=0.05)
     np.testing.assert_allclose(np.asarray(recovered.emission),
-                               np.asarray(true_params.emission), atol=0.15)
+                               np.asarray(true_params.emission), atol=0.05)
 
 
 def test_checkpoint_resume_midloop(tmp_path):
