@@ -28,7 +28,10 @@ import jax.numpy as jnp
 
 from drt_tpu.camera import Camera
 from drt_tpu.config import RenderConfig
-from drt_tpu.ops.megakernel import make_fused_adjoint, make_fused_tracer
+from drt_tpu.ops.megakernel import (make_fused_adjoint,
+                                    make_fused_collect_tracer,
+                                    make_fused_sweep_adjoint,
+                                    make_fused_tracer)
 from drt_tpu.ops.vecmath import V3
 from drt_tpu.scene import Params, Scene, albedo_table, emission_table
 
@@ -36,6 +39,7 @@ from drt_tpu.scene import Params, Scene, albedo_table, emission_table
 _CAM_STRIDE = np.int32(-1640531527)  # 0x9E3779B9 as signed
 _BOUNCE_STRIDE = np.int32(40503)
 _BWD_SALT = np.int32(0x0ADD)
+_BWD_SAMPLE_STRIDE = np.int32(0x51ED)  # per-adjoint-sample seed offset
 
 
 def seeds_from_key(key) -> jnp.ndarray:
@@ -44,21 +48,120 @@ def seeds_from_key(key) -> jnp.ndarray:
     return data.reshape(-1)[:2].astype(jnp.int32)
 
 
+# Residuals for ALL spp chunks live across the backward; cap the HBM
+# spend of the stored adjoint (8 B/bounce-ray) and fall back to retrace
+# beyond it (v5e: 16 GB HBM).
+_STORED_BUDGET_BYTES = 6 << 30
+
+
+def _resolve_adjoint(cfg: RenderConfig, adjoint: str) -> str:
+    """'auto' -> 'stored' (write (sc, best) residuals in the forward,
+    backward is a cheap reverse sweep) when the mode is biased and the
+    residual footprint fits; 'retrace' otherwise. The unbiased adjoint
+    semantically requires fresh retraces (integrate.hpp:11-24)."""
+    if adjoint not in ("auto", "stored", "retrace"):
+        raise ValueError(f"unknown adjoint mode {adjoint!r}")
+    if adjoint == "auto":
+        if cfg.unbiased:
+            return "retrace"
+        n_bytes = cfg.width * cfg.height * cfg.spp * cfg.max_depth * 8
+        return "stored" if n_bytes <= _STORED_BUDGET_BYTES else "retrace"
+    if adjoint == "stored" and cfg.unbiased:
+        raise ValueError("adjoint='stored' replays the forward's stream; "
+                         "unbiased mode requires retrace "
+                         "(integrate.hpp:11-24)")
+    return adjoint
+
+
 def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
                               tile_rows: int = 16,
-                              interpret: bool | None = None):
+                              interpret: bool | None = None,
+                              rng: str = "internal",
+                              adjoint: str = "auto"):
     """Build `render(params, seeds: i32[2]) -> image f[H,W,3]`.
 
     Differentiable in params. `seeds` can come from `seeds_from_key`.
     spp is rendered in `cfg.spp_chunks` sequential kernel launches to
     bound the per-launch radiance buffer.
+
+    rng="tape" swaps the in-kernel PRNG for explicit uniform inputs:
+    `render(params, cam_u: f[2, N], tape: f[D, 3, N]) -> image` with
+    N = W*H*spp — the exact-parity/verification form (the Pallas
+    interpreter does not emulate the TPU PRNG, so CPU value tests and
+    the jvp gradient-image ground truth use this). Biased backward only
+    (the tape IS the sample stream; requires spp_chunks == 1).
+
+    adjoint: "stored" writes the (sc, best) residuals to HBM during the
+    VJP's forward and makes the backward a cheap reverse sweep (bit-equal
+    gradients, ~4x faster backward); "retrace" rebuilds residuals by
+    re-running the forward in the adjoint kernel (no extra memory; the
+    only option for unbiased mode). "auto" picks stored when biased and
+    the residual footprint fits (_STORED_BUDGET_BYTES).
     """
+    adjoint = _resolve_adjoint(cfg, adjoint)
     tracer = make_fused_tracer(scene, cam, cfg, tile_rows=tile_rows,
-                               rng="internal", interpret=interpret)
-    adj = make_fused_adjoint(scene, cam, cfg, tile_rows=tile_rows,
-                             rng="internal", interpret=interpret)
+                               rng=rng, interpret=interpret)
+    if adjoint == "stored":
+        collect = make_fused_collect_tracer(scene, cam, cfg,
+                                            tile_rows=tile_rows,
+                                            rng=rng, interpret=interpret)
+        sweep = make_fused_sweep_adjoint(scene, cfg, tile_rows=tile_rows,
+                                         interpret=interpret)
+    else:
+        adj = make_fused_adjoint(scene, cam, cfg, tile_rows=tile_rows,
+                                 rng=rng, interpret=interpret)
     w, h = cfg.width, cfg.height
     spp_c = cfg.spp // cfg.spp_chunks
+
+    if rng == "tape":
+        if cfg.spp_chunks != 1:
+            raise ValueError("tape-mode fused renderer requires "
+                             "spp_chunks == 1 (one tape per launch)")
+        if cfg.unbiased:
+            raise ValueError("tape-mode fused renderer is biased-only: "
+                             "the tape IS the sample stream")
+
+        @jax.custom_vjp
+        def render_t(params: Params, cam_u, tape) -> jnp.ndarray:
+            alb = albedo_table(scene, params)
+            emi = emission_table(scene, params)
+            L = tracer(alb, emi, cam_u, tape)
+            chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
+            return jnp.stack(chans, axis=-1)
+
+        def fwd_t(params, cam_u, tape):
+            if adjoint == "stored":
+                alb = albedo_table(scene, params)
+                emi = emission_table(scene, params)
+                L, rsc, rbest = collect(alb, emi, cam_u, tape)
+                chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
+                img = jnp.stack(chans, axis=-1)
+                return img, (params, (rsc, rbest))
+            return render_t(params, cam_u, tape), (params, (cam_u, tape))
+
+        def bwd_t(res, g):
+            params, saved = res
+            alb = albedo_table(scene, params)
+            emi = emission_table(scene, params)
+            dtype = alb.dtype
+            g_pix = (g / spp_c).astype(dtype)
+            g_ray = V3(jnp.tile(g_pix[:, :, 0].reshape(-1), spp_c),
+                       jnp.tile(g_pix[:, :, 1].reshape(-1), spp_c),
+                       jnp.tile(g_pix[:, :, 2].reshape(-1), spp_c))
+            if adjoint == "stored":
+                rsc, rbest = saved
+                da, de = sweep(alb, emi, rsc, rbest, g_ray)
+            else:
+                cam_u, tape = saved
+                da, de = adj(alb, emi, cam_u, tape, g_ray)
+            k = params.albedo.shape[0]
+            l = params.emission.shape[0]
+            dparams = Params(albedo=da[:k].astype(params.albedo.dtype),
+                             emission=de[:l].astype(params.emission.dtype))
+            return (dparams, None, None)
+
+        render_t.defvjp(fwd_t, bwd_t)
+        return render_t
 
     def _chunk_seeds(seeds, c):
         return seeds + jnp.stack([_CAM_STRIDE, _BOUNCE_STRIDE]) * c
@@ -77,10 +180,23 @@ def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
         return img / cfg.spp_chunks
 
     def fwd(params, seeds):
-        return render(params, seeds), (params, seeds)
+        if adjoint != "stored":
+            return render(params, seeds), (params, seeds, None)
+        # Forward with residual collection: the backward then never
+        # retraces — see make_fused_collect_tracer.
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        img = jnp.zeros((h, w, 3), alb.dtype)
+        residuals = []
+        for c in range(cfg.spp_chunks):
+            L, rsc, rbest = collect(alb, emi, _chunk_seeds(seeds, c))
+            residuals.append((rsc, rbest))
+            chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
+            img = img + jnp.stack(chans, axis=-1)
+        return img / cfg.spp_chunks, (params, seeds, tuple(residuals))
 
     def bwd(res, g):
-        params, seeds = res
+        params, seeds, residuals = res
         alb = albedo_table(scene, params)
         emi = emission_table(scene, params)
         dtype = alb.dtype
@@ -94,15 +210,27 @@ def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
         l = params.emission.shape[0]
         da = jnp.zeros((k, 3), dtype)
         de = jnp.zeros((l, 3), dtype)
+        n_adj = cfg.adjoint_samples if cfg.unbiased else 1
         for c in range(cfg.spp_chunks):
+            if adjoint == "stored":
+                rsc, rbest = residuals[c]
+                da_c, de_c = sweep(alb, emi, rsc, rbest, g_ray)
+                da = da + da_c[:k]
+                de = de + de_c[:l]
+                continue
             cs = _chunk_seeds(seeds, c)
-            if cfg.unbiased:
-                # Fresh bounce stream, same camera stream
-                # (integrate.hpp:39-52).
-                cs = cs + jnp.stack([jnp.int32(0), _BWD_SALT])
-            da_c, de_c = adj(alb, emi, cs, g_ray)
-            da = da + da_c[:k]
-            de = de + de_c[:l]
+            for s in range(n_adj):
+                if cfg.unbiased:
+                    # Fresh bounce stream per sample, same camera stream
+                    # (integrate.hpp:39-52; the n_samples mean of
+                    # integrate.hpp:15-19).
+                    salt = _BWD_SALT + np.int32(s) * _BWD_SAMPLE_STRIDE
+                    cs_s = cs + jnp.stack([jnp.int32(0), salt])
+                else:
+                    cs_s = cs
+                da_c, de_c = adj(alb, emi, cs_s, g_ray)
+                da = da + da_c[:k] / n_adj
+                de = de + de_c[:l] / n_adj
         dparams = Params(albedo=da.astype(params.albedo.dtype),
                          emission=de.astype(params.emission.dtype))
         return (dparams, None)
@@ -225,6 +353,18 @@ def make_compacted_image_renderer(scene: Scene, cam: Camera,
             alive = nxt_state[9]
             k_next = caps[i + 1]
             fill = caps[i]  # pad slot in the CURRENT segment's space
+            # Capacity-overflow observability (rays beyond k_next would
+            # be silently dropped by the sized nonzero): report when the
+            # astronomically-unlikely Binomial tail actually fires.
+            n_alive = jnp.sum((alive > 0).astype(jnp.int32))
+            jax.lax.cond(
+                n_alive > k_next,
+                lambda na: jax.debug.print(
+                    "drt_tpu compacted renderer: RR survivor overflow — "
+                    "{} alive rays > capacity {} at segment boundary "
+                    "(overflowing rays dropped; image/grad biased). "
+                    "Increase `margin`.", na, k_next),
+                lambda na: None, n_alive)
             idx = jnp.nonzero(alive > 0, size=k_next, fill_value=fill)[0]
             state = [_pad1(c2)[idx] for c2 in nxt_state]
             # Compose the global ray index; fill lanes map to the global
@@ -301,7 +441,9 @@ def make_compacted_image_renderer(scene: Scene, cam: Camera,
 def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
                                       cfg: RenderConfig, mesh,
                                       tile_rows: int = 16,
-                                      interpret: bool | None = None):
+                                      interpret: bool | None = None,
+                                      rng: str = "internal",
+                                      adjoint: str = "auto"):
     """Sharded production path: the fused megakernels run per-device
     under `shard_map` over `mesh`, each shard tracing its slice of the
     global ray index space via `tile_base`; parameter-gradient partials
@@ -309,6 +451,13 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
     single-heap `m_grad +=`, vector.hpp:185-191).
 
     Returns `render(params, seeds) -> image`, differentiable in params.
+
+    rng="tape": `render(params, cam_u: f[2, N], tape: f[D, 3, N])` with
+    the GLOBAL uniform arrays sharded over the ray axis — each device's
+    kernel consumes its slice at its `tile_base`. This is the form that
+    makes the production sharded path value-testable on a virtual CPU
+    mesh (interpret-mode PRNG is stubbed); biased backward only,
+    spp_chunks == 1 (see make_fused_image_renderer).
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -326,12 +475,21 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
     local_n = n // n_dev
     local_tiles = local_n // tile
 
+    adjoint = _resolve_adjoint(cfg, adjoint)
     tracer = make_fused_tracer(scene, cam, cfg, tile_rows=tile_rows,
-                               rng="internal", interpret=interpret,
+                               rng=rng, interpret=interpret,
                                n_rays=local_n)
-    adj = make_fused_adjoint(scene, cam, cfg, tile_rows=tile_rows,
-                             rng="internal", interpret=interpret,
-                             n_rays=local_n)
+    if adjoint == "stored":
+        collect = make_fused_collect_tracer(scene, cam, cfg,
+                                            tile_rows=tile_rows, rng=rng,
+                                            interpret=interpret,
+                                            n_rays=local_n)
+        sweep = make_fused_sweep_adjoint(scene, cfg, tile_rows=tile_rows,
+                                         interpret=interpret)
+    else:
+        adj = make_fused_adjoint(scene, cam, cfg, tile_rows=tile_rows,
+                                 rng=rng, interpret=interpret,
+                                 n_rays=local_n)
 
     def _dev_index():
         idx = 0
@@ -342,23 +500,131 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
     ray_p = P(names)
     v3_ray = V3(ray_p, ray_p, ray_p)
 
+    if rng == "tape":
+        if cfg.spp_chunks != 1:
+            raise ValueError("tape-mode sharded renderer requires "
+                             "spp_chunks == 1")
+        if cfg.unbiased:
+            raise ValueError("tape-mode sharded renderer is biased-only")
+        cam_u_p = P(None, names)       # f[2, N] sharded on rays
+        tape_p = P(None, None, names)  # f[D, 3, N] sharded on rays
+        res_p = P(None, names)         # residuals f/i32[D, N] on rays
+
+        def _shard_trace_t(alb, emi, cam_u, u):
+            return tracer(alb, emi, cam_u, u,
+                          tile_base=_dev_index() * local_tiles)
+
+        sharded_trace_t = shard_map(_shard_trace_t, mesh=mesh,
+                                    in_specs=(P(), P(), cam_u_p, tape_p),
+                                    out_specs=v3_ray, check_vma=False)
+        if adjoint == "stored":
+            def _shard_collect_t(alb, emi, cam_u, u):
+                return collect(alb, emi, cam_u, u,
+                               tile_base=_dev_index() * local_tiles)
+
+            def _shard_sweep(alb, emi, rsc, rbest, g):
+                da, de = sweep(alb, emi, rsc, rbest, g)
+                return jax.lax.psum((da, de), names)
+
+            sharded_collect_t = shard_map(
+                _shard_collect_t, mesh=mesh,
+                in_specs=(P(), P(), cam_u_p, tape_p),
+                out_specs=(v3_ray, res_p, res_p), check_vma=False)
+            sharded_sweep = shard_map(
+                _shard_sweep, mesh=mesh,
+                in_specs=(P(), P(), res_p, res_p, v3_ray),
+                out_specs=(P(), P()), check_vma=False)
+        else:
+            def _shard_adj_t(alb, emi, cam_u, u, g):
+                da, de = adj(alb, emi, cam_u, u, g,
+                             tile_base=_dev_index() * local_tiles)
+                return jax.lax.psum((da, de), names)
+
+            sharded_adj_t = shard_map(_shard_adj_t, mesh=mesh,
+                                      in_specs=(P(), P(), cam_u_p, tape_p,
+                                                v3_ray),
+                                      out_specs=(P(), P()),
+                                      check_vma=False)
+
+        @jax.custom_vjp
+        def render_t(params: Params, cam_u, tape) -> jnp.ndarray:
+            alb = albedo_table(scene, params)
+            emi = emission_table(scene, params)
+            L = sharded_trace_t(alb, emi, cam_u, tape)
+            chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
+            return jnp.stack(chans, axis=-1)
+
+        def fwd_t(params, cam_u, tape):
+            if adjoint == "stored":
+                alb = albedo_table(scene, params)
+                emi = emission_table(scene, params)
+                L, rsc, rbest = sharded_collect_t(alb, emi, cam_u, tape)
+                chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
+                img = jnp.stack(chans, axis=-1)
+                return img, (params, (rsc, rbest))
+            return render_t(params, cam_u, tape), (params, (cam_u, tape))
+
+        def bwd_t(res, g):
+            params, saved = res
+            alb = albedo_table(scene, params)
+            emi = emission_table(scene, params)
+            dtype = alb.dtype
+            g_pix = (g / spp_c).astype(dtype)
+            g_ray = V3(jnp.tile(g_pix[:, :, 0].reshape(-1), spp_c),
+                       jnp.tile(g_pix[:, :, 1].reshape(-1), spp_c),
+                       jnp.tile(g_pix[:, :, 2].reshape(-1), spp_c))
+            if adjoint == "stored":
+                rsc, rbest = saved
+                da, de = sharded_sweep(alb, emi, rsc, rbest, g_ray)
+            else:
+                cam_u, tape = saved
+                da, de = sharded_adj_t(alb, emi, cam_u, tape, g_ray)
+            k = params.albedo.shape[0]
+            l = params.emission.shape[0]
+            dparams = Params(albedo=da[:k].astype(params.albedo.dtype),
+                             emission=de[:l].astype(params.emission.dtype))
+            return (dparams, None, None)
+
+        render_t.defvjp(fwd_t, bwd_t)
+        return render_t
+
     def _shard_trace(alb, emi, seeds):
         L = tracer(alb, emi, seeds, tile_base=_dev_index() * local_tiles)
         return L
-
-    def _shard_adj(alb, emi, seeds, g):
-        da, de = adj(alb, emi, seeds, g,
-                     tile_base=_dev_index() * local_tiles)
-        return jax.lax.psum((da, de), names)
 
     # check_vma=False: pallas_call outputs carry no varying-mesh-axis
     # annotation, so shard_map's vma checker cannot see through them.
     sharded_trace = shard_map(_shard_trace, mesh=mesh,
                               in_specs=(P(), P(), P()),
                               out_specs=v3_ray, check_vma=False)
-    sharded_adj = shard_map(_shard_adj, mesh=mesh,
-                            in_specs=(P(), P(), P(), v3_ray),
-                            out_specs=(P(), P()), check_vma=False)
+    if adjoint == "stored":
+        res_p = P(None, names)
+
+        def _shard_collect(alb, emi, seeds):
+            return collect(alb, emi, seeds,
+                           tile_base=_dev_index() * local_tiles)
+
+        def _shard_sweep(alb, emi, rsc, rbest, g):
+            da, de = sweep(alb, emi, rsc, rbest, g)
+            return jax.lax.psum((da, de), names)
+
+        sharded_collect = shard_map(_shard_collect, mesh=mesh,
+                                    in_specs=(P(), P(), P()),
+                                    out_specs=(v3_ray, res_p, res_p),
+                                    check_vma=False)
+        sharded_sweep = shard_map(_shard_sweep, mesh=mesh,
+                                  in_specs=(P(), P(), res_p, res_p,
+                                            v3_ray),
+                                  out_specs=(P(), P()), check_vma=False)
+    else:
+        def _shard_adj(alb, emi, seeds, g):
+            da, de = adj(alb, emi, seeds, g,
+                         tile_base=_dev_index() * local_tiles)
+            return jax.lax.psum((da, de), names)
+
+        sharded_adj = shard_map(_shard_adj, mesh=mesh,
+                                in_specs=(P(), P(), P(), v3_ray),
+                                out_specs=(P(), P()), check_vma=False)
 
     def _chunk_seeds(seeds, c):
         return seeds + jnp.stack([_CAM_STRIDE, _BOUNCE_STRIDE]) * c
@@ -375,10 +641,22 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
         return img / cfg.spp_chunks
 
     def fwd(params, seeds):
-        return render(params, seeds), (params, seeds)
+        if adjoint != "stored":
+            return render(params, seeds), (params, seeds, None)
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        img = jnp.zeros((h, w, 3), alb.dtype)
+        residuals = []
+        for c in range(cfg.spp_chunks):
+            L, rsc, rbest = sharded_collect(alb, emi,
+                                            _chunk_seeds(seeds, c))
+            residuals.append((rsc, rbest))
+            chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
+            img = img + jnp.stack(chans, axis=-1)
+        return img / cfg.spp_chunks, (params, seeds, tuple(residuals))
 
     def bwd(res, g):
-        params, seeds = res
+        params, seeds, residuals = res
         alb = albedo_table(scene, params)
         emi = emission_table(scene, params)
         dtype = alb.dtype
@@ -390,13 +668,24 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
         l = params.emission.shape[0]
         da = jnp.zeros((k, 3), dtype)
         de = jnp.zeros((l, 3), dtype)
+        n_adj = cfg.adjoint_samples if cfg.unbiased else 1
         for c in range(cfg.spp_chunks):
+            if adjoint == "stored":
+                rsc, rbest = residuals[c]
+                da_c, de_c = sharded_sweep(alb, emi, rsc, rbest, g_ray)
+                da = da + da_c[:k]
+                de = de + de_c[:l]
+                continue
             cs = _chunk_seeds(seeds, c)
-            if cfg.unbiased:
-                cs = cs + jnp.stack([jnp.int32(0), _BWD_SALT])
-            da_c, de_c = sharded_adj(alb, emi, cs, g_ray)
-            da = da + da_c[:k]
-            de = de + de_c[:l]
+            for s in range(n_adj):
+                if cfg.unbiased:
+                    salt = _BWD_SALT + np.int32(s) * _BWD_SAMPLE_STRIDE
+                    cs_s = cs + jnp.stack([jnp.int32(0), salt])
+                else:
+                    cs_s = cs
+                da_c, de_c = sharded_adj(alb, emi, cs_s, g_ray)
+                da = da + da_c[:k] / n_adj
+                de = de + de_c[:l] / n_adj
         dparams = Params(albedo=da.astype(params.albedo.dtype),
                          emission=de.astype(params.emission.dtype))
         return (dparams, None)

@@ -389,13 +389,14 @@ def _wavefront_body(ss: StaticScene, cfg: RenderConfig, alb_ref, emis_ref,
     tuple (L, o, d, T, alive) for segment chaining (mirrors
     drt_tpu/renderer.py _bounce, which cites pathtracer.hpp)."""
     b_end = cfg.max_depth if b_end is None else b_end
-    shape = o.x.shape
-    one = jnp.ones(shape, dtype)
+    shape = d.x.shape  # o may carry literal (scalar) camera components
     zero = jnp.zeros(shape, dtype)
     if T is None:
-        T = V3(one, one, one)
+        # Literal unit throughput: bounce-0's P = T * gate and
+        # T' = P * a * sc fold the 1-multiplies away (1 * x == x exactly).
+        T = V3(dtype(1.0), dtype(1.0), dtype(1.0))
     if alive is None:
-        alive = jnp.ones(shape, bool)
+        alive = True  # folds the bounce-0 liveness ANDs
     L = V3(zero, zero, zero)
     inv_keep = dtype(1.0 / (1.0 - cfg.absorb_prob))
 
@@ -667,9 +668,12 @@ def _camera_rays_static(sc: StaticCamera, spp_c: int, tile_rows: int,
     dx, dy, dz = comp(0), comp(1), comp(2)
     inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
     d = V3(dx * inv, dy * inv, dz * inv)
-    o = V3(jnp.full(shape, dtype(sc.eye[0]), dtype),
-           jnp.full(shape, dtype(sc.eye[1]), dtype),
-           jnp.full(shape, dtype(sc.eye[2]), dtype))
+    # The eye is a compile-time LITERAL (scalar components, not filled
+    # arrays): every origin-dependent term of the bounce-0 intersect
+    # (plane h = dot(o, n) - off, sphere |o-c|^2 - r^2, triangle
+    # tvec/q = cross(tvec, e1)) constant-folds at trace time — bit-exact,
+    # since the folded scalars follow the same IEEE op order.
+    o = V3(dtype(sc.eye[0]), dtype(sc.eye[1]), dtype(sc.eye[2]))
     return o, d
 
 
@@ -1010,6 +1014,217 @@ def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
         return L, tuple(flat[3:])
 
     return trace
+
+
+def make_fused_collect_tracer(scene: Scene, cam, cfg: RenderConfig,
+                              tile_rows: int = 16, rng: str = "internal",
+                              interpret: bool | None = None,
+                              n_rays: int | None = None):
+    """Full-depth fused forward tracer that ALSO writes the per-bounce
+    adjoint residuals `(sc, best)` to HBM — the memory side of the
+    store-vs-retrace tradeoff for radiative backprop.
+
+    The retrace adjoint (make_fused_adjoint) re-runs the whole forward
+    (intersect + shade, ~85% of its cost) to rebuild residuals in VMEM.
+    Storing instead costs 8 B/bounce-ray of HBM (sc f32 + best i32; P and
+    gate are NOT stored — they are recomputed exactly from (sc, best) by
+    the sweep kernel's cheap throughput recurrence, and gate is a static
+    per-bounce constant masked by best > 0), which at ~800 GB/s is orders
+    of magnitude cheaper than the retrace. Biased (key-replay) mode only
+    — the unbiased adjoint semantically REQUIRES fresh retraces
+    (reference: include/drt/integrate.hpp:11-24).
+
+    Returns `trace(alb, emi, seeds | (cam_u, u), tile_base=0) ->
+    (L: V3[n], rsc: f[D, n], rbest: i32[D, n])`; L is computed by the
+    identical op sequence as make_fused_tracer (bit-equal radiance).
+    """
+    ss = StaticScene(scene)
+    sc = StaticCamera(cam, cfg.width, cfg.height)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret is True and rng == "internal":
+        interpret = pltpu.InterpretParams()
+    D = cfg.max_depth
+    spp_c = cfg.spp // cfg.spp_chunks
+    n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays
+    rows, padded = _pad_rows(n, tile_rows)
+    grid = rows // tile_rows
+    tile, ray_spec, smem = _seg_spec_helpers(tile_rows)
+    res_spec = pl.BlockSpec((D, tile_rows, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        it = iter(refs)
+        tb_ref = next(it)
+        seed_ref = next(it) if rng == "internal" else None
+        alb_ref = next(it)
+        emis_ref = next(it)
+        cu_ref = u_ref = None
+        if rng == "tape":
+            cu_ref = next(it)
+            u_ref = next(it)
+        lx, ly, lz, rsc_ref, rbest_ref = (next(it) for _ in range(5))
+        dtype = lx.dtype.type
+        i = pl.program_id(0)
+        gi = tb_ref[0] + i
+
+        if rng == "internal":
+            pltpu.prng_seed(seed_ref[0], gi)
+            cam_u = _uniform_from_bits((2, tile_rows, LANES), dtype)
+            pltpu.prng_seed(seed_ref[1], gi)
+            u = _uniform_from_bits((D, 3, tile_rows, LANES), dtype)
+            u_s, u_t = cam_u[0], cam_u[1]
+
+            def get_u(lb):
+                return u[lb, 0], u[lb, 1], u[lb, 2]
+        else:
+            u_s, u_t = cu_ref[0], cu_ref[1]
+
+            def get_u(lb):
+                return u_ref[lb, 0], u_ref[lb, 1], u_ref[lb, 2]
+
+        base_idx = gi * (tile_rows * LANES)
+        o, d = _camera_rays_static(sc, spp_c, tile_rows, base_idx,
+                                   u_s, u_t, dtype)
+
+        def on_residual(lb, P, sc_b, gate, masks):
+            rsc_ref[lb] = sc_b
+            best = jnp.zeros(sc_b.shape, jnp.int32)  # 0 = no hit / dead
+            for s, m in enumerate(masks):
+                best = jnp.where(m, s + 1, best)
+            rbest_ref[lb] = best
+
+        L = _wavefront_body(ss, cfg, alb_ref, emis_ref, o, d, get_u,
+                            dtype, on_residual=on_residual)
+        lx[...] = L.x
+        ly[...] = L.y
+        lz[...] = L.z
+
+    def trace(albedo_tab, emission_tab, *args, tile_base=0):
+        dtype = albedo_tab.dtype
+        tb = jnp.asarray(tile_base, jnp.int32).reshape(1)
+        it = iter(args)
+        call_args = [tb]
+        in_specs = [smem]
+        if rng == "internal":
+            call_args.append(next(it))  # seeds
+            in_specs.append(smem)
+        call_args += [albedo_tab, emission_tab]
+        in_specs += [smem, smem]
+        if rng == "tape":
+            cam_u = next(it)
+            cu = jnp.pad(cam_u.reshape(2, -1), ((0, 0), (0, padded - n))) \
+                .reshape(2, rows, LANES)
+            call_args.append(cu)
+            in_specs.append(pl.BlockSpec((2, tile_rows, LANES),
+                                         lambda i: (0, i, 0),
+                                         memory_space=pltpu.VMEM))
+            u = next(it)
+            ut = jnp.pad(u.reshape(D, 3, -1),
+                         ((0, 0), (0, 0), (0, padded - n))) \
+                .reshape(D, 3, rows, LANES)
+            call_args.append(ut)
+            in_specs.append(pl.BlockSpec((D, 3, tile_rows, LANES),
+                                         lambda i: (0, 0, i, 0),
+                                         memory_space=pltpu.VMEM))
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=[ray_spec] * 3 + [res_spec, res_spec],
+            out_shape=[jax.ShapeDtypeStruct((rows, LANES), dtype)] * 3
+            + [jax.ShapeDtypeStruct((D, rows, LANES), dtype),
+               jax.ShapeDtypeStruct((D, rows, LANES), jnp.int32)],
+            interpret=interpret,
+        )(*call_args)
+        L = V3(*(c.reshape(padded)[:n] for c in out[:3]))
+        rsc = out[3].reshape(D, padded)[:, :n]
+        rbest = out[4].reshape(D, padded)[:, :n]
+        return L, rsc, rbest
+
+    return trace
+
+
+def make_fused_sweep_adjoint(scene: Scene, cfg: RenderConfig,
+                             tile_rows: int = 16,
+                             interpret: bool | None = None):
+    """Reverse-sweep-only adjoint over stored residuals — the backward
+    half of the store-vs-retrace tradeoff (see make_fused_collect_tracer).
+
+    Per tile: replay the throughput recurrence from the stored `(sc,
+    best)` — `gate_b = rr_scale_b * [best_b > 0]` (rr_scale is a static
+    per-bounce constant), `P_b = T_{b-1} * gate_b`, `T_b = P_b * a_b *
+    sc_b` — in the forward's exact op order (bit-equal P/gate), then run
+    the standard reverse suffix sweep and SMEM grad accumulation. ~20
+    VPU ops per bounce-ray vs ~250 for the retrace adjoint.
+
+    Returns `sweep(alb, emi, rsc: f[D, n], rbest: i32[D, n], g: V3[n])
+    -> (d_albedo, d_emission)` (same shapes as make_fused_adjoint).
+    """
+    ss = StaticScene(scene)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    D = cfg.max_depth
+
+    def kernel(alb_ref, emis_ref, rsc_ref, rbest_ref, gx, gy, gz,
+               da_ref, de_ref):
+        dtype = gx.dtype.type
+        shape = gx.shape
+        inv_keep = dtype(1.0 / (1.0 - cfg.absorb_prob))
+        T = V3(dtype(1.0), dtype(1.0), dtype(1.0))
+        Px, Py, Pz, scs, gates, bests = [], [], [], [], [], []
+        for b in range(D):
+            sc_b = rsc_ref[b]
+            best = rbest_ref[b]
+            rr = inv_keep if b >= cfg.min_bounces else dtype(1.0)
+            gate = jnp.where(best > 0, rr, dtype(0.0))
+            P = V3(T.x * gate, T.y * gate, T.z * gate)
+            masks = [best == (s + 1) for s in range(ss.n_shapes)]
+            a = _albedo_select(ss, masks, alb_ref, shape, dtype)
+            T = V3(P.x * a.x * sc_b, P.y * a.y * sc_b, P.z * a.z * sc_b)
+            Px.append(P.x)
+            Py.append(P.y)
+            Pz.append(P.z)
+            scs.append(sc_b)
+            gates.append(gate)
+            bests.append(best)
+        g = V3(gx[...], gy[...], gz[...])
+        scratch = (Px, Py, Pz, scs, gates, bests)
+        _, da_acc, de_acc = _reverse_sweep(ss, alb_ref, emis_ref, g,
+                                           scratch, D, g.x.shape, dtype)
+        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype)
+
+    def sweep(albedo_tab, emission_tab, rsc, rbest, g: V3):
+        n = g.x.shape[0]
+        n_alb = albedo_tab.shape[0]
+        n_emit = emission_tab.shape[0]
+        dtype = g.x.dtype
+        rows, padded = _pad_rows(n, tile_rows)
+        grid = rows // tile_rows
+        tile, ray_spec, smem = _seg_spec_helpers(tile_rows)
+        res_spec = pl.BlockSpec((D, tile_rows, LANES), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        rsc_t = jnp.pad(rsc, ((0, 0), (0, padded - n))) \
+            .reshape(D, rows, LANES)
+        rbest_t = jnp.pad(rbest, ((0, 0), (0, padded - n))) \
+            .reshape(D, rows, LANES)
+        gargs = [_to_tiles(c, padded, rows) for c in (g.x, g.y, g.z)]
+        acc_a = pl.BlockSpec((n_alb, 3), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+        acc_e = pl.BlockSpec((n_emit, 3), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+        da, de = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[smem, smem, res_spec, res_spec] + [ray_spec] * 3,
+            out_specs=[acc_a, acc_e],
+            out_shape=[jax.ShapeDtypeStruct((n_alb, 3), dtype),
+                       jax.ShapeDtypeStruct((n_emit, 3), dtype)],
+            interpret=interpret,
+        )(albedo_tab, emission_tab, rsc_t, rbest_t, *gargs)
+        return da, de
+
+    return sweep
 
 
 def make_fused_segment_adjoint(scene: Scene, cam, cfg: RenderConfig,
