@@ -58,9 +58,10 @@ def count_jaxpr(jaxpr, counts):
         for sub in (v for v in eqn.params.values()
                     if hasattr(v, "jaxpr")):
             count_jaxpr(sub.jaxpr, counts)
-        if eqn.primitive.name in ("pjit", "closed_call", "custom_jvp_call",
+        if eqn.primitive.name in ("pjit", "jit", "closed_call",
+                                  "custom_jvp_call",
                                   "custom_vjp_call_jaxpr"):
-            continue
+            continue  # container eqns: already counted via recursion
         name = eqn.primitive.name
         if name in IGNORE:
             continue
