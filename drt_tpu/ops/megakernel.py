@@ -466,14 +466,19 @@ def _make_residual_writer(rP_x, rP_y, rP_z, rsc, rgate, rbest, n_shapes):
 
 
 def _reverse_sweep(ss: StaticScene, alb_ref, emis_ref, g: V3, scratch,
-                   seg_len: int, shape, dtype, S_end: V3 | None = None):
+                   seg_len: int, shape, dtype, S_end: V3 | None = None,
+                   albedos=None):
     """Reverse suffix sweep over a segment's stored residuals
     (adjoint.py _param_grads math):
       S_lb = gate_lb (e_lb + w_lb S_{lb+1}),  w = albedo * sc
       d emission_l += sum g.P [eid=l];  d albedo_k += sum g.P sc S [aid=k]
     S_end seeds the recursion (the next segment's S_start; zeros for the
     final segment). Returns (S_start, da_acc, de_acc) with the grad
-    accumulators as seg-summed scalars [rows][3]."""
+    accumulators as seg-summed scalars [rows][3].
+
+    albedos: optional per-bounce list of precomputed per-ray albedo V3s
+    (the stored-sweep kernel's forward recurrence already selected them;
+    identical values, so reusing them is exact)."""
     rP_x, rP_y, rP_z, rsc, rgate, rbest = scratch
     n_alb = alb_ref.shape[0]
     n_emit = emis_ref.shape[0]
@@ -508,7 +513,8 @@ def _reverse_sweep(ss: StaticScene, alb_ref, emis_ref, g: V3, scratch,
             for c in range(3):
                 da_acc[row][c] = da_acc[row][c] + jnp.sum(
                     jnp.where(m, gPsS[c], 0.0))
-        a = _albedo_select(ss, masks, alb_ref, shape, dtype)
+        a = (albedos[lb] if albedos is not None
+             else _albedo_select(ss, masks, alb_ref, shape, dtype))
         S = V3((e.x + a.x * sc_b * S.x) * gate,
                (e.y + a.y * sc_b * S.y) * gate,
                (e.z + a.z * sc_b * S.z) * gate)
@@ -1172,7 +1178,7 @@ def make_fused_sweep_adjoint(scene: Scene, cfg: RenderConfig,
         shape = gx.shape
         inv_keep = dtype(1.0 / (1.0 - cfg.absorb_prob))
         T = V3(dtype(1.0), dtype(1.0), dtype(1.0))
-        Px, Py, Pz, scs, gates, bests = [], [], [], [], [], []
+        Px, Py, Pz, scs, gates, bests, albs = [], [], [], [], [], [], []
         for b in range(D):
             sc_b = rsc_ref[b]
             best = rbest_ref[b]
@@ -1188,10 +1194,12 @@ def make_fused_sweep_adjoint(scene: Scene, cfg: RenderConfig,
             scs.append(sc_b)
             gates.append(gate)
             bests.append(best)
+            albs.append(a)
         g = V3(gx[...], gy[...], gz[...])
         scratch = (Px, Py, Pz, scs, gates, bests)
         _, da_acc, de_acc = _reverse_sweep(ss, alb_ref, emis_ref, g,
-                                           scratch, D, g.x.shape, dtype)
+                                           scratch, D, g.x.shape, dtype,
+                                           albedos=albs)
         _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype)
 
     def sweep(albedo_tab, emission_tab, rsc, rbest, g: V3):
