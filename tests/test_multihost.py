@@ -77,6 +77,74 @@ def test_heartbeat_single_process():
     assert heartbeat() == 1
 
 
+def test_two_process_sharded_render_and_grads(tmp_path):
+    """REAL multi-process DATA PATH: two jax.distributed processes (4
+    virtual CPU devices each) render under an 8-device global mesh with
+    the parameter-gradient psum crossing the process boundary. Both
+    processes must produce identical replicated outputs, and those must
+    match a single-process single-device render of the same config/key
+    (the reference's serial loop, src/render.cpp:72-86) to f32 reduction
+    tolerance."""
+    import json
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+
+    import jax.numpy as jnp
+
+    from drt_tpu.config import RenderConfig
+    from drt_tpu.models import cbox
+    from drt_tpu.parallel.render import make_renderer
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker = pathlib.Path(__file__).parent / "multihost_render_worker.py"
+
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), "2", coord,
+         str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in (0, 1)]
+    try:
+        for p in procs:
+            _, err = p.communicate(timeout=600)
+            assert p.returncode == 0, err.decode()[-3000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    meta0 = json.loads((tmp_path / "render_p0.json").read_text())
+    assert meta0["global_devices"] == 8
+    assert meta0["local_devices"] == 4
+    r0 = np.load(tmp_path / "render_p0.npz")
+    r1 = np.load(tmp_path / "render_p1.npz")
+    # Replicated results agree EXACTLY across processes.
+    for k in ("img", "loss", "d_albedo", "d_emission"):
+        np.testing.assert_array_equal(r0[k], r1[k])
+    assert np.isfinite(r0["img"]).all() and r0["img"].mean() > 0
+    assert np.abs(r0["d_albedo"]).max() > 0
+
+    # Single-process, single-device ground truth (same cfg/key/loss).
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    cfg = RenderConfig(width=32, height=16, spp=16, max_depth=4)
+    render = make_renderer(scene, cfg, cam, differentiable=True,
+                           backend="xla")
+    key = jax.random.key(17)
+    img_ref = np.asarray(render(params, key))
+    np.testing.assert_allclose(r0["img"], img_ref, rtol=1e-5, atol=1e-6)
+    g_ref = jax.grad(lambda p: (render(p, key) ** 2).sum())(params)
+    np.testing.assert_allclose(r0["d_albedo"], np.asarray(g_ref.albedo),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(r0["d_emission"],
+                               np.asarray(g_ref.emission),
+                               rtol=1e-4, atol=1e-5)
+    assert float(r0["loss"]) > 0
+
+
 def test_two_process_heartbeat_and_redistribution(tmp_path):
     """REAL multi-process runtime: two local CPU processes join a
     jax.distributed group (coordinator on localhost), heartbeat() counts
