@@ -18,17 +18,20 @@ Architecture (TPU-first, not a translation of the reference):
 """
 
 from drt_tpu.config import RenderConfig
-from drt_tpu.scene import Scene, Params, make_scene
+from drt_tpu.scene import Scene, Params, SceneBuilder, make_scene
 from drt_tpu.camera import Camera, look_at
 from drt_tpu.renderer import trace_rays, render_image
 from drt_tpu.adjoint import make_diff_renderer, make_diff_image_renderer
+from drt_tpu.gradcheck import check_gradients, grad_image, grad_image_fwd
+from drt_tpu.parallel.render import make_renderer, resolve_backend
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "RenderConfig",
     "Scene",
     "Params",
+    "SceneBuilder",
     "make_scene",
     "Camera",
     "look_at",
@@ -36,5 +39,10 @@ __all__ = [
     "render_image",
     "make_diff_renderer",
     "make_diff_image_renderer",
+    "make_renderer",
+    "resolve_backend",
+    "check_gradients",
+    "grad_image",
+    "grad_image_fwd",
     "__version__",
 ]
