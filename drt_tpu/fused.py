@@ -74,7 +74,7 @@ def _resolve_adjoint(cfg: RenderConfig, adjoint: str) -> str:
 
 
 def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
-                              tile_rows: int = 16,
+                              tile_rows: int = 32,
                               interpret: bool | None = None,
                               rng: str = "internal",
                               adjoint: str = "auto"):
@@ -246,7 +246,7 @@ def _round_up(x: int, m: int) -> int:
 def make_compacted_image_renderer(scene: Scene, cam: Camera,
                                   cfg: RenderConfig,
                                   splits: tuple[int, ...] = None,
-                                  tile_rows: int = 16,
+                                  tile_rows: int = 32,
                                   margin: float = 0.05,
                                   interpret: bool | None = None):
     """Single-chip production path with inter-segment ray compaction.
@@ -440,7 +440,7 @@ def make_compacted_image_renderer(scene: Scene, cam: Camera,
 
 def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
                                       cfg: RenderConfig, mesh,
-                                      tile_rows: int = 16,
+                                      tile_rows: int = 32,
                                       interpret: bool | None = None,
                                       rng: str = "internal",
                                       adjoint: str = "auto"):

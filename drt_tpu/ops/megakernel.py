@@ -559,7 +559,7 @@ def _to_tiles(x: jnp.ndarray, padded: int, rows: int) -> jnp.ndarray:
     return x.reshape(rows, LANES)
 
 
-def make_pallas_tracer(scene: Scene, cfg: RenderConfig, tile_rows: int = 16,
+def make_pallas_tracer(scene: Scene, cfg: RenderConfig, tile_rows: int = 32,
                        interpret: bool | None = None):
     """Build the fused forward tracer.
 
@@ -695,7 +695,7 @@ def _uniform_from_bits(shape, dtype):
 
 
 def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,
-                      tile_rows: int = 16, rng: str = "internal",
+                      tile_rows: int = 32, rng: str = "internal",
                       interpret: bool | None = None,
                       n_rays: int | None = None):
     """Build the fully-fused forward pass: camera ray generation, uniform
@@ -728,7 +728,7 @@ def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,
 
 
 def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
-                       tile_rows: int = 16, rng: str = "internal",
+                       tile_rows: int = 32, rng: str = "internal",
                        interpret: bool | None = None,
                        n_rays: int | None = None):
     """Fused radiative-backprop adjoint for the fused tracer: regenerate
@@ -760,7 +760,7 @@ def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
     return adjoint
 
 
-def make_pallas_adjoint(scene: Scene, cfg: RenderConfig, tile_rows: int = 16,
+def make_pallas_adjoint(scene: Scene, cfg: RenderConfig, tile_rows: int = 32,
                         interpret: bool | None = None):
     """Build the fused radiative-backprop adjoint.
 
@@ -867,7 +867,7 @@ def _seg_spec_helpers(tile_rows):
 def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
                               b_start: int, b_end: int,
                               n_rays: int | None = None,
-                              tile_rows: int = 16, rng: str = "internal",
+                              tile_rows: int = 32, rng: str = "internal",
                               interpret: bool | None = None):
     """Forward kernel for bounces [b_start, b_end) of the wavefront.
 
@@ -1023,7 +1023,7 @@ def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
 
 
 def make_fused_collect_tracer(scene: Scene, cam, cfg: RenderConfig,
-                              tile_rows: int = 16, rng: str = "internal",
+                              tile_rows: int = 32, rng: str = "internal",
                               interpret: bool | None = None,
                               n_rays: int | None = None):
     """Full-depth fused forward tracer that ALSO writes the per-bounce
@@ -1152,7 +1152,7 @@ def make_fused_collect_tracer(scene: Scene, cam, cfg: RenderConfig,
 
 
 def make_fused_sweep_adjoint(scene: Scene, cfg: RenderConfig,
-                             tile_rows: int = 16,
+                             tile_rows: int = 32,
                              interpret: bool | None = None):
     """Reverse-sweep-only adjoint over stored residuals — the backward
     half of the store-vs-retrace tradeoff (see make_fused_collect_tracer).
@@ -1238,7 +1238,7 @@ def make_fused_sweep_adjoint(scene: Scene, cfg: RenderConfig,
 def make_fused_segment_adjoint(scene: Scene, cam, cfg: RenderConfig,
                                b_start: int, b_end: int,
                                n_rays: int | None = None,
-                               tile_rows: int = 16, rng: str = "internal",
+                               tile_rows: int = 32, rng: str = "internal",
                                interpret: bool | None = None):
     """Adjoint kernel for bounces [b_start, b_end): retrace the segment
     (replaying its streams / tape), reverse-sweep with the boundary

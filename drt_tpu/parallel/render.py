@@ -40,7 +40,7 @@ def resolve_backend(scene: Scene, cfg: RenderConfig, mesh: Mesh | None,
         return "pallas" if fused_ok else "xla"
     n_dev = int(mesh.devices.size)
     n_rays = cfg.width * cfg.height * (cfg.spp // cfg.spp_chunks)
-    tiles_ok = n_rays % (n_dev * 16 * 128) == 0
+    tiles_ok = n_rays % (n_dev * 32 * 128) == 0
     return "pallas-sharded" if (fused_ok and tiles_ok) else "xla"
 
 
