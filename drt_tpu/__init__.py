@@ -23,6 +23,7 @@ from drt_tpu.camera import Camera, look_at
 from drt_tpu.renderer import trace_rays, render_image
 from drt_tpu.adjoint import make_diff_renderer, make_diff_image_renderer
 from drt_tpu.gradcheck import check_gradients, grad_image, grad_image_fwd
+from drt_tpu.integrate import integrate
 from drt_tpu.parallel.render import make_renderer, resolve_backend
 
 __version__ = "0.2.0"
@@ -33,6 +34,7 @@ __all__ = [
     "Params",
     "SceneBuilder",
     "make_scene",
+    "integrate",
     "Camera",
     "look_at",
     "trace_rays",
