@@ -114,6 +114,55 @@ def test_internal_rng_on_tpu():
     assert abs(float(da[0, 0]) - fd) / (abs(fd) + 1e-3) < 2e-2
 
 
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="TPU per-core PRNG is not emulated on CPU")
+def test_internal_unbiased_adjoint_on_tpu():
+    """Fused unbiased adjoint (fresh bounce streams, integrate.hpp:39-52)
+    on the real chip: for a LINEAR image functional the gradient
+    expectation matches the biased adjoint's (SE-scaled bound over
+    paired seeds) — for nonlinear losses the two legitimately differ by
+    the gradient of the estimator's variance term — and
+    adjoint_samples=4 cuts the gradient variance (integrate.hpp:15-19
+    n_samples mean)."""
+    import dataclasses
+
+    from drt_tpu.fused import make_fused_image_renderer, seeds_from_key
+
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    cfg_b = RenderConfig(width=32, height=16, spp=16, max_depth=4)
+    cfg_u = dataclasses.replace(cfg_b, unbiased=True)
+    cfg_u4 = dataclasses.replace(cfg_b, unbiased=True, adjoint_samples=4)
+    w_img = jnp.asarray(np.random.default_rng(0).uniform(
+        0.5, 1.5, (16, 32, 3)), jnp.float32)
+
+    def gfn(cfg):
+        render = make_fused_image_renderer(scene, cam, cfg, tile_rows=8)
+        return jax.jit(jax.grad(
+            lambda p, s: (render(p, s) * w_img).sum()))
+
+    g_b, g_u, g_u4 = (gfn(c) for c in (cfg_b, cfg_u, cfg_u4))
+
+    def sample(g, seed):
+        return np.asarray(g(params, seeds_from_key(jax.random.key(seed)))
+                          .albedo)
+
+    trials = 48
+    gb = np.stack([sample(g_b, s) for s in range(trials)])
+    gu = np.stack([sample(g_u, s) for s in range(trials)])
+    gu4 = np.stack([sample(g_u4, s) for s in range(trials)])
+    # Unbiased differs per seed (fresh backward streams)...
+    assert np.abs(gu - gb).max() > 1e-6
+    # ...but agrees in expectation, within 5 standard errors (9 entries
+    # tested jointly; 4 SE per entry has a non-trivial familywise
+    # false-positive rate).
+    se = np.sqrt(gb.var(0) / trials + gu.var(0) / trials)
+    np.testing.assert_array_less(np.abs(gu.mean(0) - gb.mean(0)),
+                                 5.0 * se + 1e-8)
+    # n=4 averages 4 independent retraces: variance drops clearly.
+    assert gu4.var(0).mean() < 0.6 * gu.var(0).mean(), (
+        gu.var(0).mean(), gu4.var(0).mean())
+
+
 def test_tile_base_splits_are_consistent():
     """Two half-wavefront kernel calls with tile_base offsets must
     reproduce the single full-wavefront call exactly (the shard_map
