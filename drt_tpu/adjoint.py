@@ -39,23 +39,22 @@ from jax import lax
 
 from drt_tpu.camera import Camera
 from drt_tpu.config import RenderConfig
+from drt_tpu.ops.vecmath import V3
 from drt_tpu.renderer import (BWD_SALT, chunk_pixel_ids, chunk_rays,
                               lane_count, render_image, trace_rays)
+from drt_tpu.scene import Params, Scene, albedo_table, emission_table
 
 
 def _lane_cotangent(g, cfg: RenderConfig):
     """Expand a per-ray cotangent V3[N] to the splitting tracer's
     per-lane V3[N*M] (radiance is the lane MEAN, so each lane gets
     g/M). Identity at bsdf_samples == 1."""
-    from drt_tpu.ops.vecmath import V3
-
     M = lane_count(cfg)
     if M == 1:
         return g
     inv = 1.0 / M
     return V3(jnp.repeat(g.x * inv, M), jnp.repeat(g.y * inv, M),
               jnp.repeat(g.z * inv, M))
-from drt_tpu.scene import Params, Scene, albedo_table, emission_table
 
 
 def _param_grads(params: Params, scene: Scene, residuals, g, dtype) -> Params:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -164,8 +165,8 @@ def cmd_grad_image(args) -> int:
         else:
             _write(path, img)
 
-    stem, dot, ext = args.output.rpartition(".")
-    gt_path = f"{stem}-gt{dot}{ext}" if stem else f"{args.output}-gt"
+    stem, ext = os.path.splitext(args.output)  # dir-safe: only the
+    gt_path = f"{stem}-gt{ext}"                # basename's ext splits
     _write_pair(args.output, g_bp)
     _write_pair(gt_path, g_fw)
     print(f"grad image d(pixel)/d({args.param}) -> {args.output}; "

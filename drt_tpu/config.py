@@ -71,7 +71,7 @@ class RenderConfig:
                 "and the truncation-tail bound does not hold")
         if self.spp_chunks <= 0 or self.spp % self.spp_chunks != 0:
             raise ValueError(
-                f"spp ({self.spp}) must divide evenly into spp_chunks "
-                f"({self.spp_chunks})")
+                f"spp_chunks ({self.spp_chunks}) must divide spp "
+                f"({self.spp}) evenly")
         if self.bsdf_samples < 1 or self.adjoint_samples < 1:
             raise ValueError("bsdf_samples and adjoint_samples must be >= 1")

@@ -54,23 +54,35 @@ def seeds_from_key(key) -> jnp.ndarray:
 _STORED_BUDGET_BYTES = 6 << 30
 
 
-def _resolve_adjoint(cfg: RenderConfig, adjoint: str) -> str:
+def _resolve_adjoint(cfg: RenderConfig, adjoint: str,
+                     n_devices: int = 1) -> str:
     """'auto' -> 'stored' (write (sc, best) residuals in the forward,
     backward is a cheap reverse sweep) when the mode is biased and the
-    residual footprint fits; 'retrace' otherwise. The unbiased adjoint
-    semantically requires fresh retraces (integrate.hpp:11-24)."""
+    PER-DEVICE residual footprint fits; 'retrace' otherwise. The
+    unbiased adjoint semantically requires fresh retraces
+    (integrate.hpp:11-24)."""
     if adjoint not in ("auto", "stored", "retrace"):
         raise ValueError(f"unknown adjoint mode {adjoint!r}")
     if adjoint == "auto":
         if cfg.unbiased:
             return "retrace"
-        n_bytes = cfg.width * cfg.height * cfg.spp * cfg.max_depth * 8
+        n_bytes = (cfg.width * cfg.height * cfg.spp * cfg.max_depth * 8
+                   // n_devices)
         return "stored" if n_bytes <= _STORED_BUDGET_BYTES else "retrace"
     if adjoint == "stored" and cfg.unbiased:
         raise ValueError("adjoint='stored' replays the forward's stream; "
                          "unbiased mode requires retrace "
                          "(integrate.hpp:11-24)")
     return adjoint
+
+
+def _check_fused_cfg(cfg: RenderConfig) -> None:
+    """The megakernels instantiate the 1-sample-per-vertex estimator
+    (the only one the reference app uses, pathtracer.hpp:111); the
+    bsdf_samples tree-splitting estimator lives on the XLA path."""
+    if cfg.bsdf_samples != 1:
+        raise ValueError("bsdf_samples > 1 (per-vertex splitting) is "
+                         "implemented on the xla backend only")
 
 
 def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
@@ -98,6 +110,7 @@ def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
     only option for unbiased mode). "auto" picks stored when biased and
     the residual footprint fits (_STORED_BUDGET_BYTES).
     """
+    _check_fused_cfg(cfg)
     adjoint = _resolve_adjoint(cfg, adjoint)
     tracer = make_fused_tracer(scene, cam, cfg, tile_rows=tile_rows,
                                rng=rng, interpret=interpret)
@@ -475,7 +488,8 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
     local_n = n // n_dev
     local_tiles = local_n // tile
 
-    adjoint = _resolve_adjoint(cfg, adjoint)
+    _check_fused_cfg(cfg)
+    adjoint = _resolve_adjoint(cfg, adjoint, n_devices=n_dev)
     tracer = make_fused_tracer(scene, cam, cfg, tile_rows=tile_rows,
                                rng=rng, interpret=interpret,
                                n_rays=local_n)

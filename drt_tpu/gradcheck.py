@@ -64,6 +64,12 @@ def grad_image(scene: Scene, cam: Camera, cfg: RenderConfig,
     estimator rendered with the same `key` (grad_image_fwd).
     """
     name, row = _parse_param(params, param)
+    if cfg.unbiased:
+        raise ValueError(
+            "grad_image renders the biased (key-replay) gradient "
+            "artifact, which equals forward-mode AD of the estimator; "
+            "an unbiased-mode per-pixel image is a different estimator "
+            "with no matching jvp ground truth — set unbiased=False")
     dtype = cam.forward.dtype
     w, h = cfg.width, cfg.height
     spp_c = cfg.spp // cfg.spp_chunks
@@ -121,6 +127,9 @@ def grad_image_fwd(scene: Scene, cam: Camera, cfg: RenderConfig,
     chosen row, and since transport is channel-diagonal the jvp output
     IS the per-channel gradient image."""
     name, row = _parse_param(params, param)
+    if cfg.unbiased:
+        raise ValueError("grad_image_fwd is the biased-mode ground "
+                         "truth; set unbiased=False (see grad_image)")
 
     def render(p):
         return render_image(p, scene, cam, key, cfg)

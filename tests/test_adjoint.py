@@ -183,12 +183,12 @@ def test_unbiased_mode_agrees_in_expectation():
     # the difference isolates the backward-retrace noise and the paired
     # SE is far tighter than the marginal one.
     n_trials = 200
-    d_pair = np.stack([g_of(gfn_u, s) - g_of(gfn_b, s)
-                       for s in range(n_trials)])
+    gb = np.stack([g_of(gfn_b, s) for s in range(n_trials)])
+    gu = np.stack([g_of(gfn_u, s) for s in range(n_trials)])
+    d_pair = gu - gb
     mean_d = d_pair.mean(axis=0)
     se = np.sqrt(d_pair.var(axis=0) / n_trials)
-    scale = np.abs(np.stack([g_of(gfn_b, s)
-                             for s in range(n_trials)]).mean(0)).max()
+    scale = np.abs(gb.mean(0)).max()
     # Power: the bound must be able to catch a 10% systematic bias.
     assert (4.0 * se).max() < 0.10 * scale, (se.max(), scale)
     np.testing.assert_array_less(np.abs(mean_d), 4.0 * se + 1e-12 * scale)

@@ -109,10 +109,12 @@ def main() -> None:
             lambda lb: (u[lb, 0], u[lb, 1], u[lb, 2]), dtype)
 
     def sweep_body(alb, emi, rsc, rbest, gx, gy, gz):
+        # Mirrors make_fused_sweep_adjoint's kernel body exactly,
+        # including the albedos= reuse (the sweep-albedo-reuse opt).
         from drt_tpu.ops.vecmath import V3
         inv_keep = dtype(1.0 / (1.0 - cfg.absorb_prob))
         T = V3(dtype(1.0), dtype(1.0), dtype(1.0))
-        Px, Py, Pz, scs, gates, bests = [], [], [], [], [], []
+        Px, Py, Pz, scs, gates, bests, albs = [], [], [], [], [], [], []
         for b in range(cfg.max_depth):
             sc_b, best = rsc[b], rbest[b]
             rr = inv_keep if b >= cfg.min_bounces else dtype(1.0)
@@ -123,10 +125,12 @@ def main() -> None:
             T = V3(P.x * a.x * sc_b, P.y * a.y * sc_b, P.z * a.z * sc_b)
             Px.append(P.x); Py.append(P.y); Pz.append(P.z)
             scs.append(sc_b); gates.append(gate); bests.append(best)
+            albs.append(a)
         g = V3(gx, gy, gz)
         return mk._reverse_sweep(ss, alb, emi, g,
                                  (Px, Py, Pz, scs, gates, bests),
-                                 cfg.max_depth, shape, dtype)[1]
+                                 cfg.max_depth, shape, dtype,
+                                 albedos=albs)[1]
 
     f = jnp.zeros(shape, jnp.float32)
     u = jnp.zeros((cfg.max_depth, 3) + shape, jnp.float32)
@@ -142,7 +146,7 @@ def main() -> None:
     count_jaxpr(jaxpr.jaxpr, counts)
     tile_elems = tile_rows * mk.LANES
     total_ops = 0.0
-    print(f"# {label}, depth {cfg.depth if hasattr(cfg, 'depth') else cfg.max_depth}, "
+    print(f"# {label}, depth {cfg.max_depth}, "
           f"tile {tile_rows}x{mk.LANES}, cbox scene "
           f"({ss.n_shapes} shapes)")
     print(f"{'primitive':24s} {'elems/tile':>12s} {'cost':>5s} "
