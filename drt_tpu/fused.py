@@ -85,6 +85,153 @@ def _check_fused_cfg(cfg: RenderConfig) -> None:
                          "implemented on the xla backend only")
 
 
+def _chunk_seeds(seeds, c):
+    return seeds + jnp.stack([_CAM_STRIDE, _BOUNCE_STRIDE]) * c
+
+
+def _slice_dparams(params: Params, da, de) -> Params:
+    k = params.albedo.shape[0]
+    l = params.emission.shape[0]
+    return Params(albedo=da[:k].astype(params.albedo.dtype),
+                  emission=de[:l].astype(params.emission.dtype))
+
+
+def _g_ray_of(g, spp_c: int, n_chunks: int, dtype) -> V3:
+    """Per-pixel image cotangent -> per-ray cotangent for one chunk
+    (image = mean over chunks of per-pixel spp_c means; ray i of a chunk
+    covers pixel i % (W*H), spp-outer order)."""
+    g_pix = (g / (spp_c * n_chunks)).astype(dtype)
+    return V3(jnp.tile(g_pix[:, :, 0].reshape(-1), spp_c),
+              jnp.tile(g_pix[:, :, 1].reshape(-1), spp_c),
+              jnp.tile(g_pix[:, :, 2].reshape(-1), spp_c))
+
+
+def _build_tape_renderer(scene: Scene, cfg: RenderConfig, adjoint: str,
+                         trace_fn, collect_fn, sweep_fn, adj_fn):
+    """Tape-mode image renderer custom VJP, shared by the single-device
+    and sharded factories (which pass their raw vs shard_map-wrapped
+    kernel callables)."""
+    w, h = cfg.width, cfg.height
+    spp_c = cfg.spp // cfg.spp_chunks
+    if cfg.spp_chunks != 1:
+        raise ValueError("tape-mode fused renderer requires "
+                         "spp_chunks == 1 (one tape per launch)")
+    if cfg.unbiased:
+        raise ValueError("tape-mode fused renderer is biased-only: "
+                         "the tape IS the sample stream")
+
+    def _img(L):
+        chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
+        return jnp.stack(chans, axis=-1)
+
+    @jax.custom_vjp
+    def render_t(params: Params, cam_u, tape) -> jnp.ndarray:
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        return _img(trace_fn(alb, emi, cam_u, tape))
+
+    def fwd_t(params, cam_u, tape):
+        if adjoint == "stored":
+            alb = albedo_table(scene, params)
+            emi = emission_table(scene, params)
+            L, rsc, rbest = collect_fn(alb, emi, cam_u, tape)
+            return _img(L), (params, (rsc, rbest))
+        return render_t(params, cam_u, tape), (params, (cam_u, tape))
+
+    def bwd_t(res, g):
+        params, saved = res
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        g_ray = _g_ray_of(g, spp_c, 1, alb.dtype)
+        if adjoint == "stored":
+            rsc, rbest = saved
+            da, de = sweep_fn(alb, emi, rsc, rbest, g_ray)
+        else:
+            cam_u, tape = saved
+            da, de = adj_fn(alb, emi, cam_u, tape, g_ray)
+        return (_slice_dparams(params, da, de), None, None)
+
+    render_t.defvjp(fwd_t, bwd_t)
+    return render_t
+
+
+def _build_internal_renderer(scene: Scene, cfg: RenderConfig,
+                             adjoint: str, trace_fn, collect_fn,
+                             sweep_fn, adj_fn):
+    """Internal-RNG image renderer custom VJP, shared by the
+    single-device and sharded factories."""
+    w, h = cfg.width, cfg.height
+    spp_c = cfg.spp // cfg.spp_chunks
+
+    def _img(L):
+        # spp-OUTER ray order (megakernel._camera_rays_static): the
+        # spp mean reduces over the major axis, pixel axis stays minor.
+        chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
+        return jnp.stack(chans, axis=-1)
+
+    @jax.custom_vjp
+    def render(params: Params, seeds: jnp.ndarray) -> jnp.ndarray:
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        img = jnp.zeros((h, w, 3), alb.dtype)
+        for c in range(cfg.spp_chunks):
+            img = img + _img(trace_fn(alb, emi, _chunk_seeds(seeds, c)))
+        return img / cfg.spp_chunks
+
+    def fwd(params, seeds):
+        if adjoint != "stored":
+            return render(params, seeds), (params, seeds, None)
+        # Forward with residual collection: the backward then never
+        # retraces — see make_fused_collect_tracer.
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        img = jnp.zeros((h, w, 3), alb.dtype)
+        residuals = []
+        for c in range(cfg.spp_chunks):
+            L, rsc, rbest = collect_fn(alb, emi, _chunk_seeds(seeds, c))
+            residuals.append((rsc, rbest))
+            img = img + _img(L)
+        return img / cfg.spp_chunks, (params, seeds, tuple(residuals))
+
+    def bwd(res, g):
+        params, seeds, residuals = res
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        dtype = alb.dtype
+        g_ray = _g_ray_of(g, spp_c, cfg.spp_chunks, dtype)
+        k = params.albedo.shape[0]
+        l = params.emission.shape[0]
+        da = jnp.zeros((k, 3), dtype)
+        de = jnp.zeros((l, 3), dtype)
+        n_adj = cfg.adjoint_samples if cfg.unbiased else 1
+        for c in range(cfg.spp_chunks):
+            if adjoint == "stored":
+                rsc, rbest = residuals[c]
+                da_c, de_c = sweep_fn(alb, emi, rsc, rbest, g_ray)
+                da = da + da_c[:k]
+                de = de + de_c[:l]
+                continue
+            cs = _chunk_seeds(seeds, c)
+            for s in range(n_adj):
+                if cfg.unbiased:
+                    # Fresh bounce stream per sample, same camera stream
+                    # (integrate.hpp:39-52; the n_samples mean of
+                    # integrate.hpp:15-19).
+                    salt = _BWD_SALT + np.int32(s) * _BWD_SAMPLE_STRIDE
+                    cs_s = cs + jnp.stack([jnp.int32(0), salt])
+                else:
+                    cs_s = cs
+                da_c, de_c = adj_fn(alb, emi, cs_s, g_ray)
+                da = da + da_c[:k] / n_adj
+                de = de + de_c[:l] / n_adj
+        dparams = Params(albedo=da.astype(params.albedo.dtype),
+                         emission=de.astype(params.emission.dtype))
+        return (dparams, None)
+
+    render.defvjp(fwd, bwd)
+    return render
+
+
 def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
                               tile_rows: int = 32,
                               interpret: bool | None = None,
@@ -114,6 +261,7 @@ def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
     adjoint = _resolve_adjoint(cfg, adjoint)
     tracer = make_fused_tracer(scene, cam, cfg, tile_rows=tile_rows,
                                rng=rng, interpret=interpret)
+    collect = sweep = adj = None
     if adjoint == "stored":
         collect = make_fused_collect_tracer(scene, cam, cfg,
                                             tile_rows=tile_rows,
@@ -123,133 +271,10 @@ def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
     else:
         adj = make_fused_adjoint(scene, cam, cfg, tile_rows=tile_rows,
                                  rng=rng, interpret=interpret)
-    w, h = cfg.width, cfg.height
-    spp_c = cfg.spp // cfg.spp_chunks
 
-    if rng == "tape":
-        if cfg.spp_chunks != 1:
-            raise ValueError("tape-mode fused renderer requires "
-                             "spp_chunks == 1 (one tape per launch)")
-        if cfg.unbiased:
-            raise ValueError("tape-mode fused renderer is biased-only: "
-                             "the tape IS the sample stream")
-
-        @jax.custom_vjp
-        def render_t(params: Params, cam_u, tape) -> jnp.ndarray:
-            alb = albedo_table(scene, params)
-            emi = emission_table(scene, params)
-            L = tracer(alb, emi, cam_u, tape)
-            chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
-            return jnp.stack(chans, axis=-1)
-
-        def fwd_t(params, cam_u, tape):
-            if adjoint == "stored":
-                alb = albedo_table(scene, params)
-                emi = emission_table(scene, params)
-                L, rsc, rbest = collect(alb, emi, cam_u, tape)
-                chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
-                img = jnp.stack(chans, axis=-1)
-                return img, (params, (rsc, rbest))
-            return render_t(params, cam_u, tape), (params, (cam_u, tape))
-
-        def bwd_t(res, g):
-            params, saved = res
-            alb = albedo_table(scene, params)
-            emi = emission_table(scene, params)
-            dtype = alb.dtype
-            g_pix = (g / spp_c).astype(dtype)
-            g_ray = V3(jnp.tile(g_pix[:, :, 0].reshape(-1), spp_c),
-                       jnp.tile(g_pix[:, :, 1].reshape(-1), spp_c),
-                       jnp.tile(g_pix[:, :, 2].reshape(-1), spp_c))
-            if adjoint == "stored":
-                rsc, rbest = saved
-                da, de = sweep(alb, emi, rsc, rbest, g_ray)
-            else:
-                cam_u, tape = saved
-                da, de = adj(alb, emi, cam_u, tape, g_ray)
-            k = params.albedo.shape[0]
-            l = params.emission.shape[0]
-            dparams = Params(albedo=da[:k].astype(params.albedo.dtype),
-                             emission=de[:l].astype(params.emission.dtype))
-            return (dparams, None, None)
-
-        render_t.defvjp(fwd_t, bwd_t)
-        return render_t
-
-    def _chunk_seeds(seeds, c):
-        return seeds + jnp.stack([_CAM_STRIDE, _BOUNCE_STRIDE]) * c
-
-    @jax.custom_vjp
-    def render(params: Params, seeds: jnp.ndarray) -> jnp.ndarray:
-        alb = albedo_table(scene, params)
-        emi = emission_table(scene, params)
-        img = jnp.zeros((h, w, 3), alb.dtype)
-        for c in range(cfg.spp_chunks):
-            L = tracer(alb, emi, _chunk_seeds(seeds, c))
-            # spp-OUTER ray order (megakernel._camera_rays_static): the
-            # spp mean reduces over the major axis, pixel axis stays minor.
-            chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
-            img = img + jnp.stack(chans, axis=-1)
-        return img / cfg.spp_chunks
-
-    def fwd(params, seeds):
-        if adjoint != "stored":
-            return render(params, seeds), (params, seeds, None)
-        # Forward with residual collection: the backward then never
-        # retraces — see make_fused_collect_tracer.
-        alb = albedo_table(scene, params)
-        emi = emission_table(scene, params)
-        img = jnp.zeros((h, w, 3), alb.dtype)
-        residuals = []
-        for c in range(cfg.spp_chunks):
-            L, rsc, rbest = collect(alb, emi, _chunk_seeds(seeds, c))
-            residuals.append((rsc, rbest))
-            chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
-            img = img + jnp.stack(chans, axis=-1)
-        return img / cfg.spp_chunks, (params, seeds, tuple(residuals))
-
-    def bwd(res, g):
-        params, seeds, residuals = res
-        alb = albedo_table(scene, params)
-        emi = emission_table(scene, params)
-        dtype = alb.dtype
-        # image = mean over chunks of per-pixel spp_c means; ray i of a
-        # chunk covers pixel i % (W*H) (spp-outer order).
-        g_pix = (g / (spp_c * cfg.spp_chunks)).astype(dtype)
-        g_ray = V3(jnp.tile(g_pix[:, :, 0].reshape(-1), spp_c),
-                   jnp.tile(g_pix[:, :, 1].reshape(-1), spp_c),
-                   jnp.tile(g_pix[:, :, 2].reshape(-1), spp_c))
-        k = params.albedo.shape[0]
-        l = params.emission.shape[0]
-        da = jnp.zeros((k, 3), dtype)
-        de = jnp.zeros((l, 3), dtype)
-        n_adj = cfg.adjoint_samples if cfg.unbiased else 1
-        for c in range(cfg.spp_chunks):
-            if adjoint == "stored":
-                rsc, rbest = residuals[c]
-                da_c, de_c = sweep(alb, emi, rsc, rbest, g_ray)
-                da = da + da_c[:k]
-                de = de + de_c[:l]
-                continue
-            cs = _chunk_seeds(seeds, c)
-            for s in range(n_adj):
-                if cfg.unbiased:
-                    # Fresh bounce stream per sample, same camera stream
-                    # (integrate.hpp:39-52; the n_samples mean of
-                    # integrate.hpp:15-19).
-                    salt = _BWD_SALT + np.int32(s) * _BWD_SAMPLE_STRIDE
-                    cs_s = cs + jnp.stack([jnp.int32(0), salt])
-                else:
-                    cs_s = cs
-                da_c, de_c = adj(alb, emi, cs_s, g_ray)
-                da = da + da_c[:k] / n_adj
-                de = de + de_c[:l] / n_adj
-        dparams = Params(albedo=da.astype(params.albedo.dtype),
-                         emission=de.astype(params.emission.dtype))
-        return (dparams, None)
-
-    render.defvjp(fwd, bwd)
-    return render
+    build = _build_tape_renderer if rng == "tape" \
+        else _build_internal_renderer
+    return build(scene, cfg, adjoint, tracer, collect, sweep, adj)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -559,48 +584,12 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
                                                 v3_ray),
                                       out_specs=(P(), P()),
                                       check_vma=False)
-
-        @jax.custom_vjp
-        def render_t(params: Params, cam_u, tape) -> jnp.ndarray:
-            alb = albedo_table(scene, params)
-            emi = emission_table(scene, params)
-            L = sharded_trace_t(alb, emi, cam_u, tape)
-            chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
-            return jnp.stack(chans, axis=-1)
-
-        def fwd_t(params, cam_u, tape):
-            if adjoint == "stored":
-                alb = albedo_table(scene, params)
-                emi = emission_table(scene, params)
-                L, rsc, rbest = sharded_collect_t(alb, emi, cam_u, tape)
-                chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
-                img = jnp.stack(chans, axis=-1)
-                return img, (params, (rsc, rbest))
-            return render_t(params, cam_u, tape), (params, (cam_u, tape))
-
-        def bwd_t(res, g):
-            params, saved = res
-            alb = albedo_table(scene, params)
-            emi = emission_table(scene, params)
-            dtype = alb.dtype
-            g_pix = (g / spp_c).astype(dtype)
-            g_ray = V3(jnp.tile(g_pix[:, :, 0].reshape(-1), spp_c),
-                       jnp.tile(g_pix[:, :, 1].reshape(-1), spp_c),
-                       jnp.tile(g_pix[:, :, 2].reshape(-1), spp_c))
-            if adjoint == "stored":
-                rsc, rbest = saved
-                da, de = sharded_sweep(alb, emi, rsc, rbest, g_ray)
-            else:
-                cam_u, tape = saved
-                da, de = sharded_adj_t(alb, emi, cam_u, tape, g_ray)
-            k = params.albedo.shape[0]
-            l = params.emission.shape[0]
-            dparams = Params(albedo=da[:k].astype(params.albedo.dtype),
-                             emission=de[:l].astype(params.emission.dtype))
-            return (dparams, None, None)
-
-        render_t.defvjp(fwd_t, bwd_t)
-        return render_t
+            sharded_collect_t = sharded_sweep = None
+        return _build_tape_renderer(
+            scene, cfg, adjoint, sharded_trace_t,
+            sharded_collect_t if adjoint == "stored" else None,
+            sharded_sweep if adjoint == "stored" else None,
+            sharded_adj_t if adjoint != "stored" else None)
 
     def _shard_trace(alb, emi, seeds):
         L = tracer(alb, emi, seeds, tile_base=_dev_index() * local_tiles)
@@ -640,69 +629,8 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
                                 in_specs=(P(), P(), P(), v3_ray),
                                 out_specs=(P(), P()), check_vma=False)
 
-    def _chunk_seeds(seeds, c):
-        return seeds + jnp.stack([_CAM_STRIDE, _BOUNCE_STRIDE]) * c
-
-    @jax.custom_vjp
-    def render(params: Params, seeds: jnp.ndarray) -> jnp.ndarray:
-        alb = albedo_table(scene, params)
-        emi = emission_table(scene, params)
-        img = jnp.zeros((h, w, 3), alb.dtype)
-        for c in range(cfg.spp_chunks):
-            L = sharded_trace(alb, emi, _chunk_seeds(seeds, c))
-            chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
-            img = img + jnp.stack(chans, axis=-1)
-        return img / cfg.spp_chunks
-
-    def fwd(params, seeds):
-        if adjoint != "stored":
-            return render(params, seeds), (params, seeds, None)
-        alb = albedo_table(scene, params)
-        emi = emission_table(scene, params)
-        img = jnp.zeros((h, w, 3), alb.dtype)
-        residuals = []
-        for c in range(cfg.spp_chunks):
-            L, rsc, rbest = sharded_collect(alb, emi,
-                                            _chunk_seeds(seeds, c))
-            residuals.append((rsc, rbest))
-            chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
-            img = img + jnp.stack(chans, axis=-1)
-        return img / cfg.spp_chunks, (params, seeds, tuple(residuals))
-
-    def bwd(res, g):
-        params, seeds, residuals = res
-        alb = albedo_table(scene, params)
-        emi = emission_table(scene, params)
-        dtype = alb.dtype
-        g_pix = (g / (spp_c * cfg.spp_chunks)).astype(dtype)
-        g_ray = V3(jnp.tile(g_pix[:, :, 0].reshape(-1), spp_c),
-                   jnp.tile(g_pix[:, :, 1].reshape(-1), spp_c),
-                   jnp.tile(g_pix[:, :, 2].reshape(-1), spp_c))
-        k = params.albedo.shape[0]
-        l = params.emission.shape[0]
-        da = jnp.zeros((k, 3), dtype)
-        de = jnp.zeros((l, 3), dtype)
-        n_adj = cfg.adjoint_samples if cfg.unbiased else 1
-        for c in range(cfg.spp_chunks):
-            if adjoint == "stored":
-                rsc, rbest = residuals[c]
-                da_c, de_c = sharded_sweep(alb, emi, rsc, rbest, g_ray)
-                da = da + da_c[:k]
-                de = de + de_c[:l]
-                continue
-            cs = _chunk_seeds(seeds, c)
-            for s in range(n_adj):
-                if cfg.unbiased:
-                    salt = _BWD_SALT + np.int32(s) * _BWD_SAMPLE_STRIDE
-                    cs_s = cs + jnp.stack([jnp.int32(0), salt])
-                else:
-                    cs_s = cs
-                da_c, de_c = sharded_adj(alb, emi, cs_s, g_ray)
-                da = da + da_c[:k] / n_adj
-                de = de + de_c[:l] / n_adj
-        dparams = Params(albedo=da.astype(params.albedo.dtype),
-                         emission=de.astype(params.emission.dtype))
-        return (dparams, None)
-
-    render.defvjp(fwd, bwd)
-    return render
+    return _build_internal_renderer(
+        scene, cfg, adjoint, sharded_trace,
+        sharded_collect if adjoint == "stored" else None,
+        sharded_sweep if adjoint == "stored" else None,
+        sharded_adj if adjoint != "stored" else None)
