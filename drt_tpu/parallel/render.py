@@ -35,7 +35,12 @@ def resolve_backend(scene: Scene, cfg: RenderConfig, mesh: Mesh | None,
     fused_ok = (jax.default_backend() == "tpu"
                 and cfg.max_depth <= 32
                 and scene.shape_geo.dtype == jnp.float32
-                and cfg.bsdf_samples == 1)
+                and cfg.bsdf_samples == 1
+                # The megakernel unrolls the nearest-hit loop over baked
+                # shapes; compile time grows with n_shapes * max_depth.
+                # Past this, the scan-based XLA intersect (which also
+                # handles big scenes, ops/intersect.py) is the right path.
+                and scene.num_shapes <= 24)
     if mesh is None:
         return "pallas" if fused_ok else "xla"
     n_dev = int(mesh.devices.size)
