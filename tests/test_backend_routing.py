@@ -1,0 +1,86 @@
+"""resolve_backend routing decisions (parallel/render.py).
+
+The TPU-only branches are exercised by monkeypatching
+jax.default_backend — the decision logic is pure Python over static
+config/scene facts, so this validates exactly what runs on a real chip.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from drt_tpu.config import RenderConfig
+from drt_tpu.models import cbox
+from drt_tpu.parallel import render as prender
+from drt_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture
+def tpu_backend(monkeypatch):
+    monkeypatch.setattr(prender.jax, "default_backend", lambda: "tpu")
+
+
+@pytest.fixture
+def cbox_scene():
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    return scene
+
+
+def test_cpu_resolves_xla(cbox_scene):
+    assert prender.resolve_backend(cbox_scene, RenderConfig(), None,
+                                   "auto") == "xla"
+
+
+def test_explicit_backend_passthrough(cbox_scene):
+    assert prender.resolve_backend(cbox_scene, RenderConfig(), None,
+                                   "pallas") == "pallas"
+
+
+def test_tpu_single_chip_picks_pallas(tpu_backend, cbox_scene):
+    cfg = RenderConfig(width=640, height=480, spp=16, max_depth=5)
+    assert prender.resolve_backend(cbox_scene, cfg, None,
+                                   "auto") == "pallas"
+
+
+def test_tpu_deep_unroll_falls_back(tpu_backend, cbox_scene):
+    cfg = RenderConfig(max_depth=64)
+    assert prender.resolve_backend(cbox_scene, cfg, None, "auto") == "xla"
+
+
+def test_tpu_f64_scene_falls_back(tpu_backend):
+    scene, _, _ = cbox.build(dtype=jnp.float64)
+    assert prender.resolve_backend(scene, RenderConfig(), None,
+                                   "auto") == "xla"
+
+
+def test_tpu_bsdf_samples_falls_back(tpu_backend, cbox_scene):
+    cfg = RenderConfig(bsdf_samples=2)
+    assert prender.resolve_backend(cbox_scene, cfg, None, "auto") == "xla"
+
+
+def test_tpu_big_scene_falls_back(tpu_backend, cbox_scene):
+    """The megakernel unrolls the nearest-hit loop over baked shapes;
+    > 24 shapes routes to the XLA scan intersect."""
+    big = cbox_scene._replace(
+        shape_type=jnp.zeros(30, jnp.int32),
+        shape_geo=jnp.zeros((30, cbox_scene.shape_geo.shape[1]),
+                            jnp.float32),
+        shape_mat=jnp.zeros(30, jnp.int32),
+        shape_emit=jnp.zeros(30, jnp.int32))
+    assert prender.resolve_backend(big, RenderConfig(), None,
+                                   "auto") == "xla"
+
+
+def test_tpu_mesh_whole_tiles_picks_sharded(tpu_backend, cbox_scene):
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+    n_dev = len(jax.devices())
+    # 32*128-ray tiles per device must divide the chunk.
+    cfg_ok = RenderConfig(width=1024, height=32 * n_dev, spp=4,
+                          max_depth=5)
+    assert prender.resolve_backend(cbox_scene, cfg_ok, mesh,
+                                   "auto") == "pallas-sharded"
+    cfg_ragged = RenderConfig(width=100, height=99, spp=1, max_depth=5)
+    assert prender.resolve_backend(cbox_scene, cfg_ragged, mesh,
+                                   "auto") == "xla"
