@@ -22,7 +22,6 @@ front), so the radiance equals the lockstep kernel's exactly.
 
 from __future__ import annotations
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from drt_tpu.config import RenderConfig
 from drt_tpu.ops.megakernel import (LANES, StaticCamera, StaticScene,
                                     _camera_rays_static, _pad_rows,
-                                    _seg_spec_helpers, _to_tiles,
+                                    _seg_spec_helpers,
                                     _uniform_from_bits, _wavefront_body)
 from drt_tpu.ops.vecmath import V3
 from drt_tpu.scene import Scene
