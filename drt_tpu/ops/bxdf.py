@@ -80,13 +80,24 @@ def eval_scale(mat_type: jnp.ndarray, exponent: jnp.ndarray,
     reference: pathtracer.hpp:100-101)."""
     # Diffuse: albedo / pi (bxdf.hpp:63-67).
     s_diff = jnp.full_like(normal.x, 1.0 / PI)
-    # Specular (bxdf.hpp:93-104).
-    halfway = normalizev(dir_in + dir_out)
+    # Specular (bxdf.hpp:93-104). Degenerate-halfway guard: when the
+    # sampled (possibly flipped) half vector is exactly perpendicular to
+    # dir_in (f32 boundary of the flip at bxdf.hpp:114-115), dir_out ==
+    # -dir_in and normalize(dir_in + dir_out) is 0/0; measure-zero in
+    # f64, so reference parity is untouched.
+    hw = dir_in + dir_out
+    hw2 = dotv(hw, hw)
+    halfway = normalizev(hw)
     cos_h = dotv(normal, halfway)
     sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
     s_spec = (exponent + 2.0) / (2.0 * PI) * _pow_cpp(cos_h, exponent) * sin_h
-    # Mirror: 1 / cos(theta_out) (bxdf.hpp:131-136).
-    s_mirr = 1.0 / dotv(normal, dir_out)
+    s_spec = jnp.where(hw2 > 0, s_spec, 0.0)
+    # Mirror: 1 / cos(theta_out) (bxdf.hpp:131-136). Guarded: an exactly
+    # perpendicular reflection (grazing f32 hit) would make 1/0 = inf and
+    # then inf * cos = NaN in the tracer; measure-zero in f64, so golden
+    # parity is untouched.
+    cos_out = dotv(normal, dir_out)
+    s_mirr = jnp.where(cos_out != 0, 1.0 / cos_out, 0.0)
     s = jnp.where(mat_type == DIFFUSE, s_diff,
                   jnp.where(mat_type == SPECULAR, s_spec,
                             jnp.where(mat_type == MIRROR, s_mirr, 0.0)))

@@ -299,7 +299,10 @@ def _shade(ss: StaticScene, masks, normal: V3, d_in: V3, u1, u2, dtype):
         pdf = cos_t / PI
         s_val = 1.0 / PI
         cos_geom = _dot(normal.x, normal.y, normal.z, dd.x, dd.y, dd.z)
-        sc_d = s_val * cos_geom / pdf
+        # pdf > 0 guard (matches renderer.py _bounce): u1 == 1 exactly
+        # (possible on injected tapes; the reference's rand()/RAND_MAX
+        # includes 1) makes cos_t = 0 -> pdf = 0 -> 0/0.
+        sc_d = jnp.where(pdf > 0, s_val * cos_geom / pdf, dtype(0.0))
         m = by_mat[DIFFUSE]
         dir_out = V3(jnp.where(m, dd.x, dir_out.x),
                      jnp.where(m, dd.y, dir_out.y),
@@ -325,7 +328,8 @@ def _shade(ss: StaticScene, masks, normal: V3, d_in: V3, u1, u2, dtype):
             # with th_h' from the *possibly flipped* halfway vector
             # recomputed against dir_in/dir_out.
             hwx, hwy, hwz = d_in.x + dd.x, d_in.y + dd.y, d_in.z + dd.z
-            hinv = 1.0 / jnp.sqrt(_dot(hwx, hwy, hwz, hwx, hwy, hwz))
+            hw2 = _dot(hwx, hwy, hwz, hwx, hwy, hwz)
+            hinv = 1.0 / jnp.sqrt(hw2)
             hwx, hwy, hwz = hwx * hinv, hwy * hinv, hwz * hinv
             cos_he = _dot(normal.x, normal.y, normal.z, hwx, hwy, hwz)
             sin_he = jnp.sqrt(jnp.maximum(1.0 - cos_he * cos_he, 0.0))
@@ -339,8 +343,17 @@ def _shade(ss: StaticScene, masks, normal: V3, d_in: V3, u1, u2, dtype):
             else:
                 powv = jnp.where(cos_he < 0, jnp.nan, mag)
             s_val = (e + 2.0) / (2.0 * PI) * powv * sin_he
+            # Degenerate-halfway guard (matches ops/bxdf.py eval_scale):
+            # hw == 0 when the flipped half vector is exactly
+            # perpendicular to d_in (f32 boundary).
+            s_val = jnp.where(hw2 > 0, s_val, dtype(0.0))
             cos_geom = _dot(normal.x, normal.y, normal.z, dd.x, dd.y, dd.z)
-            sc_s = s_val * cos_geom / pdf
+            # pdf > 0 guard (matches renderer.py _bounce): in f32 a u1
+            # within ~(e+2)*2^-25 of 1 rounds cos_h to exactly 1 and the
+            # pdf to 0 -> 0/0 NaN radiance (~1e-6 of specular draws;
+            # never fires in f64, so reference parity is untouched).
+            sc_s = jnp.where(pdf > 0, s_val * cos_geom / pdf,
+                             dtype(0.0))
             dir_out = V3(jnp.where(m, dd.x, dir_out.x),
                          jnp.where(m, dd.y, dir_out.y),
                          jnp.where(m, dd.z, dir_out.z))
@@ -351,7 +364,10 @@ def _shade(ss: StaticScene, masks, normal: V3, d_in: V3, u1, u2, dtype):
         cos_geom = _dot(normal.x, normal.y, normal.z, dd.x, dd.y, dd.z)
         # eval = 1/cos(theta_out), pdf = 1 => sc = 1 exactly, but keep the
         # quotient for f32-parity with the XLA path (bxdf.hpp:131-136).
-        sc_m = (1.0 / cos_geom) * cos_geom
+        # Guarded like ops/bxdf.py: cos == 0 (grazing f32 hit) would give
+        # inf * 0 = NaN.
+        sc_m = jnp.where(cos_geom != 0, (1.0 / cos_geom) * cos_geom,
+                         dtype(0.0))
         m = by_mat[MIRROR]
         dir_out = V3(jnp.where(m, dd.x, dir_out.x),
                      jnp.where(m, dd.y, dir_out.y),
@@ -684,14 +700,26 @@ def _camera_rays_static(sc: StaticCamera, spp_c: int, tile_rows: int,
 
 
 def _uniform_from_bits(shape, dtype):
-    """[0, 1) uniforms from the per-core PRNG (24-bit mantissa). The raw
+    """(0, 1) uniforms from the per-core PRNG (24-bit mantissa). The raw
     bits are signed i32 — bitcast to u32 before the shift, else the
-    arithmetic shift manufactures negative 'uniforms'."""
+    arithmetic shift manufactures negative 'uniforms'.
+
+    OPEN interval via the half-ulp offset (bits23 + 0.5) * 2^-23, i.e.
+    u in [2^-24, 1 - 2^-24]: a uniform of exactly 0 (or 1) makes a
+    sampling pdf zero -> 0/0 = NaN radiance (the reference has the same
+    edge — rand()/RAND_MAX spans [0, 1] inclusive, random.hpp:7-10 — at
+    ~2^-31 probability vs 2^-24 for short mantissas; observed ~1 NaN
+    pixel per ~10M draws on-chip before this). 23 bits, not 24: i24+0.5
+    needs 25 significand bits, so f32 rounds (2^24-1)+0.5 UP and the
+    product becomes exactly 1.0 — i23+0.5 is exactly representable for
+    all i23 < 2^23. The tape-mode kernels consume caller-provided
+    uniforms and keep reference-exact behavior; the pdf>0 guards in
+    _shade / renderer._bounce cover injected boundary tapes."""
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # Mosaic has no u32->f32 cast; the top 24 bits fit in a non-negative
+    # Mosaic has no u32->f32 cast; the top bits fit in a non-negative
     # i32, which does cast.
-    i24 = pltpu.bitcast(bits >> 8, jnp.int32)
-    return i24.astype(dtype) * dtype(1.0 / (1 << 24))
+    i23 = pltpu.bitcast(bits >> 9, jnp.int32)
+    return (i23.astype(dtype) + dtype(0.5)) * dtype(1.0 / (1 << 23))
 
 
 def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,

@@ -105,7 +105,14 @@ def _bounce(params_tabs, scene: Scene, cfg: RenderConfig, carry, b, u):
     # Sanitize the scalar factor for dead rays (their hit data is garbage
     # — inf/NaN from the miss) so NaN never enters throughput or, via
     # 0 * NaN, reverse-mode cotangents.
-    sc = jnp.where(alive, s * cos_t / pdf, 0.0)
+    # pdf > 0 guard: in f32, a specular u1 within ~(e+2)*2^-25 of 1
+    # rounds cos(theta_h) to exactly 1, collapsing the half-vector pdf
+    # (bxdf.hpp:117-118) to 0 -> 0/0. The true limit of s*cos/pdf there
+    # is finite (~cos), so dropping the sample biases ~1e-6 on a
+    # ~1e-6-probability set — vs NaN radiance. In f64 the guard never
+    # fires (collapse needs u1 within 2^-48 of 1), so the reference
+    # golden parity is untouched.
+    sc = jnp.where(alive & (pdf > 0), s * cos_t / pdf, 0.0)
     a = gatherv(albedo_tab, aid)
     T_next = P * (a * sc)
 

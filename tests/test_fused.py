@@ -114,6 +114,44 @@ def test_internal_rng_on_tpu():
     assert abs(float(da[0, 0]) - fd) / (abs(fd) + 1e-3) < 2e-2
 
 
+def test_boundary_uniforms_stay_finite_and_bit_equal():
+    """Sampling-pdf singularity guards: uniforms of exactly 0 and 1
+    (the reference's rand()/RAND_MAX spans [0, 1] inclusive) collapse
+    the diffuse/specular pdfs to 0; the guarded estimator drops those
+    samples (0, not 0/0 = NaN) identically in the XLA wavefront and the
+    fused kernel. Regression for the on-chip NaN pixels found in round 2
+    (specular scene, ~1e-6 of draws in f32)."""
+    from drt_tpu.models import gallery
+
+    scene, params, cam = gallery.build_glossy(dtype=jnp.float32)
+    cfg = RenderConfig(width=8, height=6, spp=4, max_depth=4)
+    n = cfg.width * cfg.height * cfg.spp
+    rng = np.random.default_rng(0)
+    u = rng.uniform(size=(cfg.max_depth, 3, n)).astype(np.float32)
+    # Force boundary draws into every bounce's BSDF-sample slots.
+    u[:, 1, ::7] = 1.0   # u1 = 1: diffuse cos=0, specular cos_h=1
+    u[:, 1, 3::11] = 0.0  # u1 = 0: specular pdf 0
+    u[:, 2, 5::13] = 0.0
+    cam_u = rng.uniform(size=(n, 2)).astype(np.float32)
+    xy = jnp.tile(pixel_grid(cfg.width, cfg.height), (cfg.spp, 1))
+    o, d, _ = camera_rays(cam, cfg.width, cfg.height, xy,
+                          jnp.asarray(cam_u))
+    tape = jnp.asarray(u)
+
+    L_ref = trace_rays(params, scene, o, d, None, cfg, tape=tape)
+    ra = np.stack([np.asarray(c) for c in L_ref])
+    assert np.isfinite(ra).all()
+
+    tracer = make_fused_tracer(scene, cam, cfg, tile_rows=1, rng="tape",
+                               interpret=True)
+    L_pal = tracer(albedo_table(scene, params),
+                   emission_table(scene, params),
+                   jnp.asarray(cam_u.T), tape)
+    pa = np.stack([np.asarray(c) for c in L_pal])
+    assert np.isfinite(pa).all()
+    np.testing.assert_allclose(pa, ra, rtol=2e-5, atol=2e-6)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="TPU per-core PRNG is not emulated on CPU")
 def test_internal_unbiased_adjoint_on_tpu():
