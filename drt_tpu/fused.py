@@ -96,6 +96,14 @@ def _slice_dparams(params: Params, da, de) -> Params:
                   emission=de[:l].astype(params.emission.dtype))
 
 
+def _chunk_img(L, spp_c: int, h: int, w: int) -> jnp.ndarray:
+    """Radiance V3[N] -> per-pixel chunk image f[H,W,3]. Rays are
+    spp-OUTER (megakernel._camera_rays_static): the spp mean reduces
+    over the major axis, the pixel axis stays minor."""
+    chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
+    return jnp.stack(chans, axis=-1)
+
+
 def _g_ray_of(g, spp_c: int, n_chunks: int, dtype) -> V3:
     """Per-pixel image cotangent -> per-ray cotangent for one chunk
     (image = mean over chunks of per-pixel spp_c means; ray i of a chunk
@@ -121,8 +129,7 @@ def _build_tape_renderer(scene: Scene, cfg: RenderConfig, adjoint: str,
                          "the tape IS the sample stream")
 
     def _img(L):
-        chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
-        return jnp.stack(chans, axis=-1)
+        return _chunk_img(L, spp_c, h, w)
 
     @jax.custom_vjp
     def render_t(params: Params, cam_u, tape) -> jnp.ndarray:
@@ -164,10 +171,7 @@ def _build_internal_renderer(scene: Scene, cfg: RenderConfig,
     spp_c = cfg.spp // cfg.spp_chunks
 
     def _img(L):
-        # spp-OUTER ray order (megakernel._camera_rays_static): the
-        # spp mean reduces over the major axis, pixel axis stays minor.
-        chans = [ch.reshape(spp_c, h, w).mean(axis=0) for ch in L]
-        return jnp.stack(chans, axis=-1)
+        return _chunk_img(L, spp_c, h, w)
 
     @jax.custom_vjp
     def render(params: Params, seeds: jnp.ndarray) -> jnp.ndarray:
@@ -439,9 +443,8 @@ def make_compacted_image_renderer(scene: Scene, cam: Camera,
         alb = albedo_table(scene, params)
         emi = emission_table(scene, params)
         dtype = alb.dtype
-        g_pix = (g / (spp_c * cfg.spp_chunks)).astype(dtype)
-        g_flat = [jnp.tile(g_pix[:, :, c].reshape(-1), spp_c)
-                  for c in range(3)]
+        g_ray = _g_ray_of(g, spp_c, cfg.spp_chunks, dtype)
+        g_flat = [g_ray.x, g_ray.y, g_ray.z]
         k = params.albedo.shape[0]
         l = params.emission.shape[0]
         da = jnp.zeros((k, 3), dtype)
@@ -548,6 +551,7 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
         cam_u_p = P(None, names)       # f[2, N] sharded on rays
         tape_p = P(None, None, names)  # f[D, 3, N] sharded on rays
         res_p = P(None, names)         # residuals f/i32[D, N] on rays
+        sharded_collect_t = sharded_sweep = sharded_adj_t = None
 
         def _shard_trace_t(alb, emi, cam_u, u):
             return tracer(alb, emi, cam_u, u,
@@ -584,12 +588,9 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
                                                 v3_ray),
                                       out_specs=(P(), P()),
                                       check_vma=False)
-            sharded_collect_t = sharded_sweep = None
-        return _build_tape_renderer(
-            scene, cfg, adjoint, sharded_trace_t,
-            sharded_collect_t if adjoint == "stored" else None,
-            sharded_sweep if adjoint == "stored" else None,
-            sharded_adj_t if adjoint != "stored" else None)
+        return _build_tape_renderer(scene, cfg, adjoint, sharded_trace_t,
+                                    sharded_collect_t, sharded_sweep,
+                                    sharded_adj_t)
 
     def _shard_trace(alb, emi, seeds):
         L = tracer(alb, emi, seeds, tile_base=_dev_index() * local_tiles)
@@ -600,6 +601,7 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
     sharded_trace = shard_map(_shard_trace, mesh=mesh,
                               in_specs=(P(), P(), P()),
                               out_specs=v3_ray, check_vma=False)
+    sharded_collect = sharded_sweep = sharded_adj = None
     if adjoint == "stored":
         res_p = P(None, names)
 
@@ -629,8 +631,6 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
                                 in_specs=(P(), P(), P(), v3_ray),
                                 out_specs=(P(), P()), check_vma=False)
 
-    return _build_internal_renderer(
-        scene, cfg, adjoint, sharded_trace,
-        sharded_collect if adjoint == "stored" else None,
-        sharded_sweep if adjoint == "stored" else None,
-        sharded_adj if adjoint != "stored" else None)
+    return _build_internal_renderer(scene, cfg, adjoint, sharded_trace,
+                                    sharded_collect, sharded_sweep,
+                                    sharded_adj)

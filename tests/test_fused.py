@@ -114,7 +114,7 @@ def test_internal_rng_on_tpu():
     assert abs(float(da[0, 0]) - fd) / (abs(fd) + 1e-3) < 2e-2
 
 
-def test_boundary_uniforms_stay_finite_and_bit_equal():
+def test_boundary_uniforms_stay_finite_and_agree():
     """Sampling-pdf singularity guards: uniforms of exactly 0 and 1
     (the reference's rand()/RAND_MAX spans [0, 1] inclusive) collapse
     the diffuse/specular pdfs to 0; the guarded estimator drops those
