@@ -51,14 +51,21 @@ def measure_ours() -> dict:
 
     n_rays = WIDTH * HEIGHT * SPP
 
-    def time_best(fn, *args, reps=3):
+    def time_reps(fn, *args, reps=5):
+        """(min, median) seconds over reps — the JSON reports both so
+        headline claims stay pinned to the captured artifact band
+        (round-2 VERDICT weak-#5)."""
         fn(*args)  # compile + warm up
-        best = float("inf")
+        ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             jax.block_until_ready(fn(*args))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[0], ts[len(ts) // 2]
+
+    def time_best(fn, *args, reps=5):
+        return time_reps(fn, *args, reps=reps)[0]
 
     # --- XLA wavefront path (cross-check; also the CPU fallback) ---------
     diff_xla = make_diff_image_renderer(scene, cam, cfg)
@@ -96,10 +103,12 @@ def measure_ours() -> dict:
                 return render(pp, s).sum()
             return jax.value_and_grad(loss)(p)
 
-        t_fwd = time_best(fwd_fused, params, seeds)
-        t_fwdbwd = time_best(fwdbwd_fused, params, seeds)
+        t_fwd, t_fwd_med = time_reps(fwd_fused, params, seeds)
+        t_fwdbwd, t_fwdbwd_med = time_reps(fwdbwd_fused, params, seeds)
         out["fwd_mrays_s"] = n_rays / t_fwd / 1e6
         out["fwdbwd_mrays_s"] = n_rays / t_fwdbwd / 1e6
+        out["fwd_mrays_s_median"] = n_rays / t_fwd_med / 1e6
+        out["fwdbwd_mrays_s_median"] = n_rays / t_fwdbwd_med / 1e6
         out["t_fwd_s"] = t_fwd
         out["t_fwdbwd_s"] = t_fwdbwd
     else:
@@ -188,6 +197,28 @@ def measure_extra_configs(on_tpu: bool) -> dict:
         np.abs(np.asarray(state.params.emission)
                - np.asarray(params.emission)).max())
 
+    # Config 6 (framework extension): 87-shape triangle-mesh scene on
+    # the memory-resident (dyn) megakernels — the round-2 24-shape-cliff
+    # fix. 64 spp bounds bench time; throughput is spp-independent here.
+    if on_tpu:
+        from drt_tpu.fused import make_dyn_image_renderer, seeds_from_key
+        from drt_tpu.models import gallery
+        scene_m, params_m, cam_m = gallery.build_mesh(level=1,
+                                                      dtype=jnp.float32)
+        cfg6 = RenderConfig(width=WIDTH, height=HEIGHT, spp=64,
+                            max_depth=MAX_DEPTH, min_bounces=MIN_BOUNCES,
+                            absorb_prob=ABSORB, spp_chunks=4)
+        rd = make_dyn_image_renderer(scene_m, cam_m, cfg6)
+        seeds_m = seeds_from_key(jax.random.key(0))
+
+        @jax.jit
+        def fwdbwd6(p, s):
+            return jax.value_and_grad(lambda pp: rd(pp, s).sum())(p)
+
+        t6 = time_best(fwdbwd6, params_m, seeds_m)
+        out["mesh87_dyn_fwdbwd_mrays_s"] = round(
+            WIDTH * HEIGHT * 64 / t6 / 1e6, 2)
+
     # Config 5: megapixel 2048^2 fwd+bwd (TPU only — 67M rays/step).
     if on_tpu:
         cfg5 = RenderConfig(width=2048, height=2048, spp=16,
@@ -209,17 +240,21 @@ def measure_extra_configs(on_tpu: bool) -> dict:
 
 
 def measure_reference() -> float | None:
-    """Reference fwd+bwd throughput in Mrays/s (camera samples), or None."""
+    """Reference fwd+bwd throughput in Mrays/s (camera samples), or None.
+
+    Uses the render-loop wall time the harness now reports from INSIDE
+    the binary (pixel loop only — no process spawn / tape generation /
+    file IO), fixing the round-2 vs_baseline noise (VERDICT weak-#6)."""
     sys.path.insert(0, "tests")
     try:
         import golden_harness as gh
         if not gh.golden_available():
             return None
         gh.build()
-        t0 = time.perf_counter()
-        gh.run(WIDTH, HEIGHT, BASELINE_SPP, min_bounces=MIN_BOUNCES,
-               absorb=ABSORB, grad=True, seed=0)
-        dt = time.perf_counter() - t0
+        dt = min(gh.run(WIDTH, HEIGHT, BASELINE_SPP,
+                        min_bounces=MIN_BOUNCES, absorb=ABSORB,
+                        grad=True, seed=s)["render_seconds"]
+                 for s in (0, 1))
         return WIDTH * HEIGHT * BASELINE_SPP / dt / 1e6
     except Exception:
         return None

@@ -105,7 +105,8 @@ def _param_grads(params: Params, scene: Scene, residuals, g, dtype) -> Params:
                   emission=de.to_array()[:l].astype(params.emission.dtype))
 
 
-def make_diff_renderer(scene: Scene, cfg: RenderConfig, use_tape: bool = False):
+def make_diff_renderer(scene: Scene, cfg: RenderConfig, use_tape: bool = False,
+                       bwd_tape: bool = False):
     """Build the differentiable radiance estimator for a scene.
 
     Returns `f(params, orig, dir, rng) -> radiance f[N,3]` where `rng` is
@@ -113,7 +114,46 @@ def make_diff_renderer(scene: Scene, cfg: RenderConfig, use_tape: bool = False):
     `use_tape=True`, an injected uniform tape f[max_depth, N, 3] for the
     sample-matched parity harness. Differentiable in `params` via the
     radiative-backprop custom VJP; upstream cotangents flow per-ray.
+
+    bwd_tape=True (requires use_tape=True and cfg.unbiased): the
+    TAPE-DRIVEN unbiased mode — `f(params, orig, dir, tape_fwd,
+    tape_bwd)` where the backward's fresh retrace (the reference's
+    IntegrateBackward re-draws, integrate.hpp:11-24) consumes the
+    SECOND injected tape instead of salted PRNG keys. With
+    tape_bwd == tape_fwd this reduces exactly to the biased replay
+    (integrate.hpp:26-37) — the sample-matched identity that pins the
+    unbiased machinery's wiring (tests/test_adjoint.py).
     """
+    if bwd_tape:
+        if not (use_tape and cfg.unbiased):
+            raise ValueError("bwd_tape requires use_tape=True and "
+                             "cfg.unbiased=True")
+        if cfg.bsdf_samples != 1:
+            raise ValueError("bwd_tape mode is single-BSDF-sample only "
+                             "(a 1-stream tape cannot drive a tree)")
+
+        @jax.custom_vjp
+        def diff_trace2(params, orig, dir, tape_f, tape_b):
+            return trace_rays(params, scene, orig, dir, None, cfg,
+                              tape=tape_f)
+
+        def fwd2(params, orig, dir, tape_f, tape_b):
+            return (diff_trace2(params, orig, dir, tape_f, tape_b),
+                    (params, orig, dir, tape_f, tape_b))
+
+        def bwd2(res, g):
+            params, orig, dir, tape_f, tape_b = res
+            # Fresh-sample adjoint sweep driven by the injected bwd tape.
+            _, residuals = trace_rays(params, scene, orig, dir, None,
+                                      cfg, tape=tape_b, collect=True)
+            dparams = _param_grads(params, scene, residuals, g,
+                                   orig.x.dtype)
+            return (dparams, jax.tree.map(jnp.zeros_like, orig),
+                    jax.tree.map(jnp.zeros_like, dir),
+                    jnp.zeros_like(tape_f), jnp.zeros_like(tape_b))
+
+        diff_trace2.defvjp(fwd2, bwd2)
+        return diff_trace2
 
     @jax.custom_vjp
     def diff_trace(params, orig, dir, rng):

@@ -37,10 +37,13 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--f64", action="store_true",
                    help="trace in float64 (CPU validation mode)")
-    p.add_argument("--backend", choices=("auto", "xla", "pallas"),
+    p.add_argument("--backend",
+                   choices=("auto", "xla", "pallas", "pallas-dyn"),
                    default="auto",
                    help="auto = fused Pallas megakernels on single-chip "
-                        "TPU at moderate depth, XLA wavefront otherwise")
+                        "TPU at moderate depth (scene-baked <= 24 "
+                        "shapes, memory-resident 'pallas-dyn' beyond), "
+                        "XLA wavefront otherwise")
     p.add_argument("--unbiased", action="store_true",
                    help="unbiased gradient mode: the backward retraces "
                         "with fresh samples (integrate.hpp:39-52) instead "
@@ -51,7 +54,9 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bsdf-samples", type=int, default=1,
                    help="BSDF samples per path vertex in the forward "
                         "estimator (integrate.hpp:56-66 n_samples; "
-                        "XLA backend, exponential in max_depth)")
+                        "lanes are exponential in max_depth — auto "
+                        "routes to the fused lane-split kernels on TPU, "
+                        "XLA elsewhere)")
 
 
 def _build(args):
@@ -147,6 +152,14 @@ def cmd_grad_image(args) -> int:
 
     from drt_tpu.gradcheck import grad_image, grad_image_fwd
 
+    if args.backend not in ("auto", "xla"):
+        # grad_image/grad_image_fwd compute the backprop-vs-jvp pair
+        # through the XLA wavefront (the jvp ground truth has no fused
+        # kernel); honoring --backend pallas here would silently lie.
+        print("grad-image runs the XLA wavefront path (the jvp ground "
+              "truth is XLA-only); use --backend auto/xla here, or "
+              "`grad` for production-backend gradients", file=sys.stderr)
+        return 2
     scene, params, cam, cfg = _build(args)
     key = jax.random.key(args.seed)
     g_bp = np.asarray(jax.jit(

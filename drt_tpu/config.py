@@ -12,6 +12,14 @@ from __future__ import annotations
 
 import dataclasses
 
+# Hard cap on the total leaf-lane count a splitting config may demand
+# (lanes = rays * bsdf_samples**(max_depth-1)); ~134M lanes is ~8.6 GB
+# of wavefront carry at f32 — the practical single-chip ceiling. The
+# tree estimator is exponential in depth BY DESIGN (the reference's
+# integrate n_samples recursion, include/drt/integrate.hpp:56-66);
+# this guard turns a silent multi-TB OOM into a config error.
+MAX_SPLIT_LANES = 1 << 27
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
@@ -39,7 +47,11 @@ class RenderConfig:
     # bound live wavefront memory on large renders. spp % spp_chunks == 0.
     spp_chunks: int = 1
     # n_samples of the reference's integration operator
-    # (include/drt/integrate.hpp:56-66), split by where it acts:
+    # (include/drt/integrate.hpp:56-66), split by where it acts. Both
+    # knobs AVERAGE their n draws; the reference's integrate loops SUM
+    # without 1/n (integrate.hpp:33-34) — a deliberate deviation
+    # documented in drt_tpu/integrate.py (identical at n=1, the only
+    # value the reference app instantiates).
     #   bsdf_samples    — BSDF samples drawn per path vertex in the
     #                     forward estimator (the scattering-integral
     #                     n_samples; the reference app instantiates 1,
@@ -75,3 +87,21 @@ class RenderConfig:
                 f"({self.spp}) evenly")
         if self.bsdf_samples < 1 or self.adjoint_samples < 1:
             raise ValueError("bsdf_samples and adjoint_samples must be >= 1")
+        if self.bsdf_samples > 1:
+            # Per-vertex splitting materializes
+            # bsdf_samples**(max_depth-1) leaf lanes per camera ray
+            # (renderer.lane_count); at the default max_depth=32 even
+            # bsdf_samples=2 means 2^31 lanes per ray. Catch it here,
+            # before tracing tries to materialize the wavefront.
+            lanes_per_ray = self.bsdf_samples ** (self.max_depth - 1)
+            rays = self.width * self.height * (self.spp // self.spp_chunks)
+            total = rays * lanes_per_ray
+            if total > MAX_SPLIT_LANES:
+                raise ValueError(
+                    f"bsdf_samples={self.bsdf_samples} at max_depth="
+                    f"{self.max_depth} expands each of the {rays} rays "
+                    f"per chunk into bsdf_samples**(max_depth-1) = "
+                    f"{lanes_per_ray} leaf lanes ({total:.3g} total > "
+                    f"budget {MAX_SPLIT_LANES}); lower max_depth / "
+                    "bsdf_samples / resolution / spp, or raise "
+                    "spp_chunks")

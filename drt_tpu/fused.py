@@ -48,26 +48,32 @@ def seeds_from_key(key) -> jnp.ndarray:
     return data.reshape(-1)[:2].astype(jnp.int32)
 
 
-# Residuals for ALL spp chunks live across the backward; cap the HBM
-# spend of the stored adjoint (8 B/bounce-ray) and fall back to retrace
-# beyond it (v5e: 16 GB HBM).
-_STORED_BUDGET_BYTES = 6 << 30
+# Residuals for ALL spp chunks live across the backward and coexist
+# with the radiance buffers and the sweep's working set; cap the HBM
+# spend of the stored adjoint (8 B/bounce-ray) well below the chip's
+# 16 GB (v5e) and fall back to retrace beyond it.
+_STORED_BUDGET_BYTES = 5 << 30
 
 
 def _resolve_adjoint(cfg: RenderConfig, adjoint: str,
-                     n_devices: int = 1) -> str:
+                     n_devices: int = 1, tile_rows: int = 32) -> str:
     """'auto' -> 'stored' (write (sc, best) residuals in the forward,
     backward is a cheap reverse sweep) when the mode is biased and the
     PER-DEVICE residual footprint fits; 'retrace' otherwise. The
     unbiased adjoint semantically requires fresh retraces
-    (integrate.hpp:11-24)."""
+    (integrate.hpp:11-24). The footprint counts the kernels' actual
+    padded buffers: per-chunk per-device rays round up to whole
+    (tile_rows * 128) tiles (megakernel._pad_rows)."""
     if adjoint not in ("auto", "stored", "retrace"):
         raise ValueError(f"unknown adjoint mode {adjoint!r}")
     if adjoint == "auto":
         if cfg.unbiased:
             return "retrace"
-        n_bytes = (cfg.width * cfg.height * cfg.spp * cfg.max_depth * 8
-                   // n_devices)
+        n_chunk = cfg.width * cfg.height * (cfg.spp // cfg.spp_chunks)
+        local_n = -(-n_chunk // n_devices)
+        tile = tile_rows * 128
+        padded_n = -(-local_n // tile) * tile
+        n_bytes = padded_n * cfg.spp_chunks * cfg.max_depth * 8
         return "stored" if n_bytes <= _STORED_BUDGET_BYTES else "retrace"
     if adjoint == "stored" and cfg.unbiased:
         raise ValueError("adjoint='stored' replays the forward's stream; "
@@ -236,11 +242,22 @@ def _build_internal_renderer(scene: Scene, cfg: RenderConfig,
     return render
 
 
+def _resolve_fastmath(fastmath, rng: str) -> bool:
+    """'auto' -> fast-math kernels for the internal-RNG production path
+    (already only statistically equal to the XLA renderer — rsqrt/
+    quotient-cancelled forms are semantically free there); tape-mode
+    kernels stay reference-exact."""
+    if fastmath == "auto":
+        return rng == "internal"
+    return bool(fastmath)
+
+
 def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
                               tile_rows: int = 32,
                               interpret: bool | None = None,
                               rng: str = "internal",
-                              adjoint: str = "auto"):
+                              adjoint: str = "auto",
+                              fastmath: bool | str = "auto"):
     """Build `render(params, seeds: i32[2]) -> image f[H,W,3]`.
 
     Differentiable in params. `seeds` can come from `seeds_from_key`.
@@ -262,23 +279,363 @@ def make_fused_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
     the residual footprint fits (_STORED_BUDGET_BYTES).
     """
     _check_fused_cfg(cfg)
-    adjoint = _resolve_adjoint(cfg, adjoint)
+    adjoint = _resolve_adjoint(cfg, adjoint, tile_rows=tile_rows)
+    fm = _resolve_fastmath(fastmath, rng)
     tracer = make_fused_tracer(scene, cam, cfg, tile_rows=tile_rows,
-                               rng=rng, interpret=interpret)
+                               rng=rng, interpret=interpret, fastmath=fm)
     collect = sweep = adj = None
     if adjoint == "stored":
         collect = make_fused_collect_tracer(scene, cam, cfg,
                                             tile_rows=tile_rows,
-                                            rng=rng, interpret=interpret)
+                                            rng=rng, interpret=interpret,
+                                            fastmath=fm)
         sweep = make_fused_sweep_adjoint(scene, cfg, tile_rows=tile_rows,
                                          interpret=interpret)
     else:
         adj = make_fused_adjoint(scene, cam, cfg, tile_rows=tile_rows,
-                                 rng=rng, interpret=interpret)
+                                 rng=rng, interpret=interpret,
+                                 fastmath=fm)
 
     build = _build_tape_renderer if rng == "tape" \
         else _build_internal_renderer
     return build(scene, cfg, adjoint, tracer, collect, sweep, adj)
+
+
+def split_prefix_tape(seeds, chunk: int, cfg: RenderConfig):
+    """One spp chunk's prefix-shared uniforms for the fused splitting
+    renderer: (cam_u f[2, n_lanes], tape f[D, 3, n_lanes]) with
+    n_lanes = W*H*spp_c * M, lanes ordered M-outer. Lanes sharing a
+    path prefix (renderer._trace_rays_splitting digit convention, j_1
+    most significant) read identical draws, so the plain per-lane
+    tracer reproduces the recursive n-sample tree estimator exactly.
+    Deterministic in (seeds, chunk) — the backward regenerates it."""
+    from drt_tpu.renderer import lane_count
+
+    n_s = cfg.bsdf_samples
+    M = lane_count(cfg)
+    D = cfg.max_depth
+    n_cam = cfg.width * cfg.height * (cfg.spp // cfg.spp_chunks)
+    dtype = jnp.float32
+    key = jax.random.wrap_key_data(
+        _chunk_seeds(seeds, chunk).astype(jnp.uint32))
+    cam_u = jax.random.uniform(jax.random.fold_in(key, D + 1),
+                               (2, n_cam), dtype)
+    cam_u = jnp.tile(cam_u, (1, M))  # all M lanes share the primary ray
+
+    def expand(u):
+        # [count, n_cam] prefix draws -> m-outer flat [M * n_cam]: lane
+        # m reads row m // (M / count), its prefix.
+        return jnp.repeat(u, M // u.shape[0], axis=0).reshape(-1)
+
+    rows = []
+    for b in range(D):
+        kb = jax.random.fold_in(key, b)
+
+        def draw(count, salt):
+            return expand(jax.random.uniform(
+                jax.random.fold_in(kb, salt), (count, n_cam), dtype))
+
+        u_rr = draw(min(n_s ** b, M), 0)
+        n_child = min(n_s ** (b + 1), M)
+        rows.append(jnp.stack([u_rr, draw(n_child, 1), draw(n_child, 2)]))
+    return cam_u, jnp.stack(rows)
+
+
+def make_split_fused_image_renderer(scene: Scene, cam: Camera,
+                                    cfg: RenderConfig,
+                                    tile_rows: int = 32,
+                                    interpret: bool | None = None,
+                                    adjoint: str = "auto"):
+    """bsdf_samples > 1 on the FUSED path: the per-vertex tree-splitting
+    estimator (the reference integrate's n_samples at every scatter,
+    include/drt/integrate.hpp:56-66 via pathtracer.hpp:96-112) as
+    M = bsdf_samples^(max_depth-1) leaf lanes per camera sample.
+
+    The megakernel itself is lane-oblivious: uniforms are generated
+    XLA-side (threefry) with PREFIX SHARING — lanes that share a path
+    prefix consume identical draws, exactly like the XLA splitting
+    tracer (renderer._trace_rays_splitting) — and fed to the TAPE-mode
+    kernels. Lane ordering is M-outer (lane = m * spp_c*W*H + ray), so
+    the huge pixel axis stays minor and the kernel's idx -> pixel
+    mapping (idx % npix) is unchanged.
+
+    Biased gradient mode only (stored or retrace adjoints; the tape IS
+    the sample stream) — unbiased splitting lives on the XLA path.
+    Returns `render(params, seeds: i32[2]) -> image`, differentiable.
+    """
+    from drt_tpu.renderer import lane_count
+
+    if cfg.bsdf_samples < 2:
+        raise ValueError("use make_fused_image_renderer for "
+                         "bsdf_samples == 1")
+    if cfg.unbiased:
+        raise ValueError("fused splitting is biased-only; use the xla "
+                         "backend for unbiased splitting gradients")
+    M = lane_count(cfg)
+    D = cfg.max_depth
+    w, h = cfg.width, cfg.height
+    spp_c = cfg.spp // cfg.spp_chunks
+    n_cam = w * h * spp_c
+    n_lanes = n_cam * M
+    dtype = jnp.float32
+
+    if adjoint not in ("auto", "stored", "retrace"):
+        raise ValueError(f"unknown adjoint mode {adjoint!r}")
+    if adjoint == "auto":
+        tile = tile_rows * 128
+        padded = -(-n_lanes // tile) * tile
+        adjoint = ("stored" if padded * cfg.spp_chunks * D * 8
+                   <= _STORED_BUDGET_BYTES else "retrace")
+
+    kw = dict(tile_rows=tile_rows, rng="tape", interpret=interpret,
+              n_rays=n_lanes)
+    tracer = make_fused_tracer(scene, cam, cfg, **kw)
+    collect = sweep = adj = None
+    if adjoint == "stored":
+        collect = make_fused_collect_tracer(scene, cam, cfg, **kw)
+        sweep = make_fused_sweep_adjoint(scene, cfg, tile_rows=tile_rows,
+                                         interpret=interpret)
+    else:
+        adj = make_fused_adjoint(scene, cam, cfg, **kw)
+
+    def _expanded_tape(seeds, c):
+        return split_prefix_tape(seeds, c, cfg)
+
+    def _img(L):
+        chans = [ch.reshape(M * spp_c, h, w).mean(axis=0) for ch in L]
+        return jnp.stack(chans, axis=-1)
+
+    def _g_lane(g):
+        g_pix = (g / (spp_c * cfg.spp_chunks * M)).astype(dtype)
+        return V3(*(jnp.tile(g_pix[:, :, c].reshape(-1), M * spp_c)
+                    for c in range(3)))
+
+    @jax.custom_vjp
+    def render(params: Params, seeds: jnp.ndarray) -> jnp.ndarray:
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        img = jnp.zeros((h, w, 3), alb.dtype)
+        for c in range(cfg.spp_chunks):
+            cam_u, tp = _expanded_tape(seeds, c)
+            img = img + _img(tracer(alb, emi, cam_u, tp))
+        return img / cfg.spp_chunks
+
+    def fwd(params, seeds):
+        if adjoint != "stored":
+            return render(params, seeds), (params, seeds, None)
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        img = jnp.zeros((h, w, 3), alb.dtype)
+        residuals = []
+        for c in range(cfg.spp_chunks):
+            cam_u, tp = _expanded_tape(seeds, c)
+            L, rsc, rbest = collect(alb, emi, cam_u, tp)
+            residuals.append((rsc, rbest))
+            img = img + _img(L)
+        return img / cfg.spp_chunks, (params, seeds, tuple(residuals))
+
+    def bwd(res, g):
+        params, seeds, residuals = res
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        g_ray = _g_lane(g)
+        k = params.albedo.shape[0]
+        l = params.emission.shape[0]
+        da = jnp.zeros((k, 3), dtype)
+        de = jnp.zeros((l, 3), dtype)
+        for c in range(cfg.spp_chunks):
+            if adjoint == "stored":
+                rsc, rbest = residuals[c]
+                da_c, de_c = sweep(alb, emi, rsc, rbest, g_ray)
+            else:
+                cam_u, tp = _expanded_tape(seeds, c)
+                da_c, de_c = adj(alb, emi, cam_u, tp, g_ray)
+            da = da + da_c[:k]
+            de = de + de_c[:l]
+        dparams = Params(albedo=da.astype(params.albedo.dtype),
+                         emission=de.astype(params.emission.dtype))
+        return (dparams, None)
+
+    render.defvjp(fwd, bwd)
+    return render
+
+
+def make_dyn_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
+                            tile_rows: int = 32,
+                            interpret: bool | None = None,
+                            rng: str = "internal",
+                            adjoint: str = "auto",
+                            unroll_shapes: int = 16):
+    """Memory-resident-scene production path: `render(params, seeds) ->
+    image`, differentiable in params, over the dyn megakernels
+    (drt_tpu/ops/dynkernel.py — scene arrays read from SMEM at run
+    time, nearest-hit as a fori_loop). Same RNG/stream semantics and
+    adjoint modes as make_fused_image_renderer; use for scenes past the
+    baked kernels' unroll budget (triangle meshes) or when scene values
+    change often."""
+    from drt_tpu.ops.dynkernel import (DynScene, make_dyn_adjoint,
+                                       make_dyn_collect_tracer,
+                                       make_dyn_sweep_adjoint,
+                                       make_dyn_tracer)
+
+    _check_fused_cfg(cfg)
+    adjoint = _resolve_adjoint(cfg, adjoint, tile_rows=tile_rows)
+    ds = DynScene.of(scene)
+    scn = ds.operands
+    kw = dict(tile_rows=tile_rows, rng=rng, interpret=interpret,
+              unroll_shapes=unroll_shapes)
+    tracer0 = make_dyn_tracer(ds, cam, cfg, **kw)
+
+    def trace_fn(alb, emi, *streams):
+        return tracer0(alb, emi, scn, *streams)
+
+    collect_fn = sweep_fn = adj_fn = None
+    if adjoint == "stored":
+        collect0 = make_dyn_collect_tracer(ds, cam, cfg, **kw)
+
+        def collect_fn(alb, emi, *streams):
+            return collect0(alb, emi, scn, *streams)
+
+        sweep_fn = make_dyn_sweep_adjoint(ds, cfg, tile_rows=tile_rows,
+                                          interpret=interpret)
+    else:
+        adj0 = make_dyn_adjoint(ds, cam, cfg, **kw)
+
+        def adj_fn(alb, emi, *args):
+            *streams, g = args
+            return adj0(alb, emi, scn, *streams, g.x, g.y, g.z)
+
+    build = _build_tape_renderer if rng == "tape" \
+        else _build_internal_renderer
+    return build(scene, cfg, adjoint, trace_fn, collect_fn, sweep_fn,
+                 adj_fn)
+
+
+def make_sharded_dyn_image_renderer(scene: Scene, cam: Camera,
+                                    cfg: RenderConfig, mesh,
+                                    tile_rows: int = 32,
+                                    interpret: bool | None = None,
+                                    rng: str = "internal",
+                                    adjoint: str = "auto",
+                                    unroll_shapes: int = 16):
+    """Sharded memory-resident-scene path: the dyn megakernels run
+    per-device under `shard_map` (scene operands replicated, rays
+    sharded by global `tile_base`, parameter-grad partials psum'd) —
+    the dyn counterpart of make_sharded_fused_image_renderer."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from drt_tpu.ops.dynkernel import (DynScene, make_dyn_adjoint,
+                                       make_dyn_collect_tracer,
+                                       make_dyn_sweep_adjoint,
+                                       make_dyn_tracer)
+
+    names = tuple(mesh.axis_names)
+    n_dev = int(np.prod(mesh.devices.shape))
+    w, h = cfg.width, cfg.height
+    spp_c = cfg.spp // cfg.spp_chunks
+    n = w * h * spp_c
+    tile = tile_rows * 128
+    if n % (n_dev * tile) != 0:
+        raise ValueError(
+            f"rays per chunk ({n}) must split into whole {tile}-ray tiles "
+            f"per device over {n_dev} devices; adjust width/height/spp")
+    local_n = n // n_dev
+    local_tiles = local_n // tile
+
+    _check_fused_cfg(cfg)
+    adjoint = _resolve_adjoint(cfg, adjoint, n_devices=n_dev,
+                               tile_rows=tile_rows)
+    ds = DynScene.of(scene)
+    scn = ds.operands
+    kw = dict(tile_rows=tile_rows, rng=rng, interpret=interpret,
+              n_rays=local_n, unroll_shapes=unroll_shapes)
+    tracer = make_dyn_tracer(ds, cam, cfg, **kw)
+    collect = sweep = adj = None
+    if adjoint == "stored":
+        collect = make_dyn_collect_tracer(ds, cam, cfg, **kw)
+        sweep = make_dyn_sweep_adjoint(ds, cfg, tile_rows=tile_rows,
+                                       interpret=interpret)
+    else:
+        adj = make_dyn_adjoint(ds, cam, cfg, **kw)
+
+    def _dev_index():
+        idx = 0
+        for name in names:
+            idx = idx * jax.lax.axis_size(name) + jax.lax.axis_index(name)
+        return idx
+
+    ray_p = P(names)
+    v3_ray = V3(ray_p, ray_p, ray_p)
+    res_p = P(None, names)
+
+    if rng == "tape":
+        if cfg.spp_chunks != 1:
+            raise ValueError("tape-mode sharded renderer requires "
+                             "spp_chunks == 1")
+        if cfg.unbiased:
+            raise ValueError("tape-mode sharded renderer is biased-only")
+        cam_u_p = P(None, names)
+        tape_p = P(None, None, names)
+        stream_specs = (cam_u_p, tape_p)
+    else:
+        stream_specs = (P(),)  # seeds replicated
+
+    def _shard_trace(alb, emi, scn_, *streams):
+        return tracer(alb, emi, scn_, *streams,
+                      tile_base=_dev_index() * local_tiles)
+
+    sharded_trace = shard_map(_shard_trace, mesh=mesh,
+                              in_specs=(P(), P(), P(), *stream_specs),
+                              out_specs=v3_ray, check_vma=False)
+
+    def trace_fn(alb, emi, *streams):
+        return sharded_trace(alb, emi, scn, *streams)
+
+    collect_fn = sweep_fn = adj_fn = None
+    if adjoint == "stored":
+        def _shard_collect(alb, emi, scn_, *streams):
+            return collect(alb, emi, scn_, *streams,
+                           tile_base=_dev_index() * local_tiles)
+
+        def _shard_sweep(alb, emi, rsc, rrow, g):
+            da, de = sweep(alb, emi, rsc, rrow, g)
+            return jax.lax.psum((da, de), names)
+
+        sharded_collect = shard_map(
+            _shard_collect, mesh=mesh,
+            in_specs=(P(), P(), P(), *stream_specs),
+            out_specs=(v3_ray, res_p, res_p), check_vma=False)
+        sharded_sweep = shard_map(
+            _shard_sweep, mesh=mesh,
+            in_specs=(P(), P(), res_p, res_p, v3_ray),
+            out_specs=(P(), P()), check_vma=False)
+
+        def collect_fn(alb, emi, *streams):
+            return sharded_collect(alb, emi, scn, *streams)
+
+        sweep_fn = sharded_sweep
+    else:
+        def _shard_adj(alb, emi, scn_, *args):
+            *streams, gx, gy, gz = args
+            da, de = adj(alb, emi, scn_, *streams, gx, gy, gz,
+                         tile_base=_dev_index() * local_tiles)
+            return jax.lax.psum((da, de), names)
+
+        sharded_adj = shard_map(
+            _shard_adj, mesh=mesh,
+            in_specs=(P(), P(), P(), *stream_specs,
+                      ray_p, ray_p, ray_p),
+            out_specs=(P(), P()), check_vma=False)
+
+        def adj_fn(alb, emi, *args):
+            *streams, g = args
+            return sharded_adj(alb, emi, scn, *streams, g.x, g.y, g.z)
+
+    build = _build_tape_renderer if rng == "tape" \
+        else _build_internal_renderer
+    return build(scene, cfg, adjoint, trace_fn, collect_fn, sweep_fn,
+                 adj_fn)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -287,7 +644,7 @@ def _round_up(x: int, m: int) -> int:
 
 def make_compacted_image_renderer(scene: Scene, cam: Camera,
                                   cfg: RenderConfig,
-                                  splits: tuple[int, ...] = None,
+                                  splits: tuple[int, ...] | None = None,
                                   tile_rows: int = 32,
                                   margin: float = 0.05,
                                   interpret: bool | None = None):
@@ -484,7 +841,8 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
                                       tile_rows: int = 32,
                                       interpret: bool | None = None,
                                       rng: str = "internal",
-                                      adjoint: str = "auto"):
+                                      adjoint: str = "auto",
+                                      fastmath: bool | str = "auto"):
     """Sharded production path: the fused megakernels run per-device
     under `shard_map` over `mesh`, each shard tracing its slice of the
     global ray index space via `tile_base`; parameter-gradient partials
@@ -517,21 +875,23 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
     local_tiles = local_n // tile
 
     _check_fused_cfg(cfg)
-    adjoint = _resolve_adjoint(cfg, adjoint, n_devices=n_dev)
+    adjoint = _resolve_adjoint(cfg, adjoint, n_devices=n_dev,
+                               tile_rows=tile_rows)
+    fm = _resolve_fastmath(fastmath, rng)
     tracer = make_fused_tracer(scene, cam, cfg, tile_rows=tile_rows,
                                rng=rng, interpret=interpret,
-                               n_rays=local_n)
+                               n_rays=local_n, fastmath=fm)
     if adjoint == "stored":
         collect = make_fused_collect_tracer(scene, cam, cfg,
                                             tile_rows=tile_rows, rng=rng,
                                             interpret=interpret,
-                                            n_rays=local_n)
+                                            n_rays=local_n, fastmath=fm)
         sweep = make_fused_sweep_adjoint(scene, cfg, tile_rows=tile_rows,
                                          interpret=interpret)
     else:
         adj = make_fused_adjoint(scene, cam, cfg, tile_rows=tile_rows,
                                  rng=rng, interpret=interpret,
-                                 n_rays=local_n)
+                                 n_rays=local_n, fastmath=fm)
 
     def _dev_index():
         idx = 0

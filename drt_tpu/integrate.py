@@ -9,14 +9,24 @@ any differentiable integrand:
 
 - biased (default): the estimate `mean_i f(params, x_i) / pdf(x_i)` is
   differentiated by replaying the SAME samples — plain AD through the
-  estimator, exactly the semantics of `integrate_biased`
-  (integrate.hpp:26-37) where the tape reuses the forward's samples.
+  estimator, the semantics of `integrate_biased` (integrate.hpp:26-37)
+  where the tape reuses the forward's samples.
 - unbiased: the primal value is the same estimate, but the backward
   draws `n_samples` FRESH samples and averages their parameter
   gradients (`internal::IntegrateBackward`, integrate.hpp:11-24 — the
   "Avoiding Bias" machinery, README.md:104-136). Expectation of the
   gradient equals the gradient of the expectation; the estimator's own
   sample noise no longer correlates forward and backward.
+
+DELIBERATE DEVIATION from the reference at n_samples > 1: the
+reference's loops SUM `forward/pdf` over n_samples with no 1/n
+(integrate.hpp:33-34 `r += ...`; same in IntegrateBackward:15-18), so
+its value and gradient scale linearly with n — a Monte-Carlo estimator
+of n * E[f/pdf]. This operator returns the MEAN (the standard n-sample
+estimator of E[f/pdf], and what the renderer's bsdf_samples /
+adjoint_samples knobs implement). At n_samples = 1 — the only value
+the reference app ever instantiates (pathtracer.hpp:111) — the two
+coincide exactly, which is what the golden-parity suite pins.
 
 The renderer's in-config knobs (`RenderConfig.unbiased`,
 `bsdf_samples`, `adjoint_samples`) are this operator's semantics fused
@@ -42,9 +52,10 @@ def integrate(forward, sampler, params, key, n_samples: int = 1,
       (pathtracer.hpp:97-105).
     sampler(key) -> (sample, pdf). Matches `sampler`
       (pathtracer.hpp:106-109); pdf may be a scalar or broadcastable.
-    n_samples: draws averaged by the estimator (integrate.hpp:62-65);
-      in unbiased mode the backward ALSO draws n_samples fresh samples
-      (integrate.hpp:15-19).
+    n_samples: draws AVERAGED by the estimator (the reference SUMS
+      without 1/n, integrate.hpp:33-34 — see the module docstring on
+      this deliberate deviation); in unbiased mode the backward also
+      draws n_samples fresh samples (integrate.hpp:15-19).
     unbiased: see module docstring.
     """
     if n_samples < 1:

@@ -78,6 +78,13 @@ def _dot(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
+def _inv_sqrt(x, fastmath: bool):
+    """1/sqrt(x): hardware rsqrt in fast-math kernels (last-ulp
+    differences vs the exact two-op form), the reference's literal
+    sqrt-then-divide otherwise (tape-parity kernels)."""
+    return jax.lax.rsqrt(x) if fastmath else 1.0 / jnp.sqrt(x)
+
+
 def _mul_lit(arr, c: float):
     """arr * literal with exact folding: drops 0-terms, folds +/-1.
     Bit-exact vs the unfolded form for finite arr (all per-ray operands
@@ -111,11 +118,14 @@ def _axpy_lit(acc, arr, c: float):
     return t if acc is None else acc + t
 
 
-def _intersect_static(ss: StaticScene, o: V3, d: V3, best_t, dtype):
+def _intersect_static(ss: StaticScene, o: V3, d: V3, best_t, dtype,
+                      fastmath: bool = False):
     """Unrolled nearest-hit over baked shapes. Returns (best_t, hit_masks)
     where hit_masks[s] is the boolean 'nearest hit is shape s' mask
     (reference: pathtracer.hpp:72-89; per-shape math mirrors
-    drt_tpu/ops/intersect.py which cites shape.hpp)."""
+    drt_tpu/ops/intersect.py which cites shape.hpp).
+    fastmath folds the sphere-root /2.0 into *0.5 (value-identical for
+    binary IEEE, kept off in tape kernels purely for op-shape parity)."""
     ts = []
     valids = []
     for s in range(ss.n_shapes):
@@ -138,8 +148,12 @@ def _intersect_static(ss: StaticScene, o: V3, d: V3, best_t, dtype):
             cc = _dot(ocx, ocy, ocz, ocx, ocy, ocz) - r2
             disc = b2 * b2 - 4.0 * cc
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t1 = (-b2 - sq) / 2.0
-            t2 = (-b2 + sq) / 2.0
+            if fastmath:
+                t1 = (-b2 - sq) * 0.5
+                t2 = (-b2 + sq) * 0.5
+            else:
+                t1 = (-b2 - sq) / 2.0
+                t2 = (-b2 + sq) / 2.0
             t = jnp.where(t1 > 0, t1, t2)
             valid = (disc >= 0) & (t > 0)
         else:  # TRIANGLE (Moller-Trumbore), framework extension
@@ -177,7 +191,8 @@ def _intersect_static(ss: StaticScene, o: V3, d: V3, best_t, dtype):
     return best_t, masks
 
 
-def _normal_static(ss: StaticScene, masks, p: V3, dtype) -> V3:
+def _normal_static(ss: StaticScene, masks, p: V3, dtype,
+                   fastmath: bool = False) -> V3:
     """Hit normal via per-shape masked select. Plane normals are stored
     raw/unnormalized (reference: shape.hpp:58-59); triangle normals are
     constant and precomputed; sphere normals normalize(p - c)
@@ -196,7 +211,7 @@ def _normal_static(ss: StaticScene, masks, p: V3, dtype) -> V3:
             nz = jnp.where(m, dtype(cn[2]), nz)
         elif st == SPHERE:
             sx, sy, sz = p.x - dtype(g[0]), p.y - dtype(g[1]), p.z - dtype(g[2])
-            inv = 1.0 / jnp.sqrt(_dot(sx, sy, sz, sx, sy, sz))
+            inv = _inv_sqrt(_dot(sx, sy, sz, sx, sy, sz), fastmath)
             nx = jnp.where(m, sx * inv, nx)
             ny = jnp.where(m, sy * inv, ny)
             nz = jnp.where(m, sz * inv, nz)
@@ -243,11 +258,18 @@ def _gather_table(tab_ref, by_row: dict, shape, dtype, default: float):
     return V3(*out)
 
 
-def _shade(ss: StaticScene, masks, normal: V3, d_in: V3, u1, u2, dtype):
+def _shade(ss: StaticScene, masks, normal: V3, d_in: V3, u1, u2, dtype,
+           fastmath: bool = False):
     """Branch-free BxDF sample + scalar eval over the material classes
     present in the scene (mirrors drt_tpu/ops/bxdf.py, which cites
     bxdf.hpp:29-41, :56-124, :126-144). Returns (dir_out, sc_raw) where
-    sc_raw = s * cos(theta) / pdf, unsanitized."""
+    sc_raw = s * cos(theta) / pdf, unsanitized.
+
+    fastmath (internal-RNG production kernels only — those are already
+    only statistically equal to the XLA path): hardware rsqrt for the
+    frame/halfway normalizations, algebraic cancellation of the
+    diffuse and mirror s*cos/pdf quotients. Same estimator, last-ulp
+    value differences; tape kernels keep the reference-exact forms."""
     by_mat, _, _, by_exp = _class_masks(ss, masks)
     have_diffuse = DIFFUSE in by_mat
     have_specular = SPECULAR in by_mat
@@ -262,12 +284,12 @@ def _shade(ss: StaticScene, masks, normal: V3, d_in: V3, u1, u2, dtype):
         tvy = jnp.where(use_e1, -normal.y * normal.x,
                         1.0 - normal.y * normal.y)
         tvz = jnp.where(use_e1, -normal.z * normal.x, -normal.z * normal.y)
-        tinv = 1.0 / jnp.sqrt(_dot(tvx, tvy, tvz, tvx, tvy, tvz))
+        tinv = _inv_sqrt(_dot(tvx, tvy, tvz, tvx, tvy, tvz), fastmath)
         tx, ty, tz = tvx * tinv, tvy * tinv, tvz * tinv
         bx = normal.y * tz - normal.z * ty
         by = normal.z * tx - normal.x * tz
         bz = normal.x * ty - normal.y * tx
-        binv = 1.0 / jnp.sqrt(_dot(bx, by, bz, bx, by, bz))
+        binv = _inv_sqrt(_dot(bx, by, bz, bx, by, bz), fastmath)
         bx, by, bz = bx * binv, by * binv, bz * binv
         cos_phi = jnp.cos(2.0 * PI * u2)
         sin_phi = jnp.sin(2.0 * PI * u2)
@@ -296,13 +318,20 @@ def _shade(ss: StaticScene, masks, normal: V3, d_in: V3, u1, u2, dtype):
         cos_t = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
         sin_t = jnp.sqrt(u1)
         dd = frame_dir(cos_t, sin_t)
-        pdf = cos_t / PI
-        s_val = 1.0 / PI
         cos_geom = _dot(normal.x, normal.y, normal.z, dd.x, dd.y, dd.z)
         # pdf > 0 guard (matches renderer.py _bounce): u1 == 1 exactly
         # (possible on injected tapes; the reference's rand()/RAND_MAX
         # includes 1) makes cos_t = 0 -> pdf = 0 -> 0/0.
-        sc_d = jnp.where(pdf > 0, s_val * cos_geom / pdf, dtype(0.0))
+        if fastmath:
+            # s*cos/pdf = (1/pi)*cos_geom*pi/cos_t = cos_geom/sqrt(1-u1):
+            # one rsqrt replaces sqrt+mul+div (pdf>0 <=> u1 < 1).
+            sc_d = jnp.where(u1 < 1.0,
+                             cos_geom * jax.lax.rsqrt(1.0 - u1),
+                             dtype(0.0))
+        else:
+            pdf = cos_t / PI
+            s_val = 1.0 / PI
+            sc_d = jnp.where(pdf > 0, s_val * cos_geom / pdf, dtype(0.0))
         m = by_mat[DIFFUSE]
         dir_out = V3(jnp.where(m, dd.x, dir_out.x),
                      jnp.where(m, dd.y, dir_out.y),
@@ -322,14 +351,12 @@ def _shade(ss: StaticScene, masks, normal: V3, d_in: V3, u1, u2, dtype):
             h = V3(jnp.where(flip, hf.x, h.x), jnp.where(flip, hf.y, h.y),
                    jnp.where(flip, hf.z, h.z))
             dd = reflect(d_in, h)
-            pdf = ((e + 2.0) / (2.0 * PI)
-                   * jnp.power(cos_h, e + 1.0) * sin_h)
             # eval (bxdf.hpp:93-104): (e+2)/(2pi) cos^e(th_h') sin(th_h')
             # with th_h' from the *possibly flipped* halfway vector
             # recomputed against dir_in/dir_out.
             hwx, hwy, hwz = d_in.x + dd.x, d_in.y + dd.y, d_in.z + dd.z
             hw2 = _dot(hwx, hwy, hwz, hwx, hwy, hwz)
-            hinv = 1.0 / jnp.sqrt(hw2)
+            hinv = _inv_sqrt(hw2, fastmath)
             hwx, hwy, hwz = hwx * hinv, hwy * hinv, hwz * hinv
             cos_he = _dot(normal.x, normal.y, normal.z, hwx, hwy, hwz)
             sin_he = jnp.sqrt(jnp.maximum(1.0 - cos_he * cos_he, 0.0))
@@ -342,18 +369,26 @@ def _shade(ss: StaticScene, masks, normal: V3, d_in: V3, u1, u2, dtype):
                 powv = mag * sgn
             else:
                 powv = jnp.where(cos_he < 0, jnp.nan, mag)
-            s_val = (e + 2.0) / (2.0 * PI) * powv * sin_he
-            # Degenerate-halfway guard (matches ops/bxdf.py eval_scale):
-            # hw == 0 when the flipped half vector is exactly
-            # perpendicular to d_in (f32 boundary).
-            s_val = jnp.where(hw2 > 0, s_val, dtype(0.0))
             cos_geom = _dot(normal.x, normal.y, normal.z, dd.x, dd.y, dd.z)
             # pdf > 0 guard (matches renderer.py _bounce): in f32 a u1
             # within ~(e+2)*2^-25 of 1 rounds cos_h to exactly 1 and the
             # pdf to 0 -> 0/0 NaN radiance (~1e-6 of specular draws;
             # never fires in f64, so reference parity is untouched).
-            sc_s = jnp.where(pdf > 0, s_val * cos_geom / pdf,
-                             dtype(0.0))
+            # Degenerate-halfway guard (hw2 > 0, ops/bxdf.py eval_scale).
+            if fastmath:
+                # s*cos/pdf with the shared (e+2)/(2pi) cancelled:
+                # powv*sin_he*cos_geom / (cos_h^(e+1)*sin_h).
+                denom = jnp.power(cos_h, e + 1.0) * sin_h
+                sc_s = jnp.where((denom > 0) & (hw2 > 0),
+                                 powv * sin_he * cos_geom / denom,
+                                 dtype(0.0))
+            else:
+                pdf = ((e + 2.0) / (2.0 * PI)
+                       * jnp.power(cos_h, e + 1.0) * sin_h)
+                s_val = (e + 2.0) / (2.0 * PI) * powv * sin_he
+                s_val = jnp.where(hw2 > 0, s_val, dtype(0.0))
+                sc_s = jnp.where(pdf > 0, s_val * cos_geom / pdf,
+                                 dtype(0.0))
             dir_out = V3(jnp.where(m, dd.x, dir_out.x),
                          jnp.where(m, dd.y, dir_out.y),
                          jnp.where(m, dd.z, dir_out.z))
@@ -365,9 +400,14 @@ def _shade(ss: StaticScene, masks, normal: V3, d_in: V3, u1, u2, dtype):
         # eval = 1/cos(theta_out), pdf = 1 => sc = 1 exactly, but keep the
         # quotient for f32-parity with the XLA path (bxdf.hpp:131-136).
         # Guarded like ops/bxdf.py: cos == 0 (grazing f32 hit) would give
-        # inf * 0 = NaN.
-        sc_m = jnp.where(cos_geom != 0, (1.0 / cos_geom) * cos_geom,
-                         dtype(0.0))
+        # inf * 0 = NaN. fastmath: (1/c)*c == 1 algebraically — skip the
+        # divide (the quotient's f32 value can differ from 1.0 by an ulp,
+        # which only the tape kernels must preserve).
+        if fastmath:
+            sc_m = jnp.where(cos_geom != 0, dtype(1.0), dtype(0.0))
+        else:
+            sc_m = jnp.where(cos_geom != 0, (1.0 / cos_geom) * cos_geom,
+                             dtype(0.0))
         m = by_mat[MIRROR]
         dir_out = V3(jnp.where(m, dd.x, dir_out.x),
                      jnp.where(m, dd.y, dir_out.y),
@@ -395,7 +435,8 @@ def _albedo_select(ss: StaticScene, masks, alb_ref, shape, dtype) -> V3:
 def _wavefront_body(ss: StaticScene, cfg: RenderConfig, alb_ref, emis_ref,
                     o: V3, d: V3, get_u, dtype, on_residual=None,
                     b_start: int = 0, b_end: int | None = None,
-                    T: V3 | None = None, alive=None, full_output=False):
+                    T: V3 | None = None, alive=None, full_output=False,
+                    fastmath: bool = False):
     """The bounce loop over [b_start, b_end) on one VMEM-resident ray
     tile. get_u(lb) -> (u_rr, u1, u2), indexed by the segment-LOCAL
     bounce lb; Russian roulette uses the absolute depth b_start + lb.
@@ -425,7 +466,8 @@ def _wavefront_body(ss: StaticScene, cfg: RenderConfig, alb_ref, emis_ref,
             rr_scale = dtype(1.0)
 
         best_t, masks = _intersect_static(
-            ss, o, d, jnp.full(shape, jnp.inf, dtype), dtype)
+            ss, o, d, jnp.full(shape, jnp.inf, dtype), dtype,
+            fastmath=fastmath)
         hit_any = jnp.zeros(shape, bool)
         for m in masks:
             hit_any = hit_any | m
@@ -442,9 +484,10 @@ def _wavefront_body(ss: StaticScene, cfg: RenderConfig, alb_ref, emis_ref,
         # NaN never reaches throughput (cf. renderer.py _bounce).
         p = V3(jnp.where(alive, p.x, 0.0), jnp.where(alive, p.y, 0.0),
                jnp.where(alive, p.z, 0.0))
-        normal = _normal_static(ss, masks, p, dtype)
+        normal = _normal_static(ss, masks, p, dtype, fastmath=fastmath)
         d_in = V3(-d.x, -d.y, -d.z)
-        dir_out, sc_raw = _shade(ss, masks, normal, d_in, u1, u2, dtype)
+        dir_out, sc_raw = _shade(ss, masks, normal, d_in, u1, u2, dtype,
+                                 fastmath=fastmath)
         sc = jnp.where(alive, sc_raw, dtype(0.0))
 
         if on_residual is not None:
@@ -651,7 +694,7 @@ class StaticCamera:
 
 
 def _camera_rays_static(sc: StaticCamera, spp_c: int, tile_rows: int,
-                        base_idx, u_s, u_t, dtype):
+                        base_idx, u_s, u_t, dtype, fastmath: bool = False):
     """In-kernel primary-ray generation (reference: camera.hpp:51-60,
     mirroring drt_tpu/camera.py camera_rays). Ray ordering is SPP-OUTER:
     ray i maps to pixel i % (W*H), sample i // (W*H). This keeps the
@@ -688,7 +731,7 @@ def _camera_rays_static(sc: StaticCamera, spp_c: int, tile_rows: int,
         return acc
 
     dx, dy, dz = comp(0), comp(1), comp(2)
-    inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    inv = _inv_sqrt(dx * dx + dy * dy + dz * dz, fastmath)
     d = V3(dx * inv, dy * inv, dz * inv)
     # The eye is a compile-time LITERAL (scalar components, not filled
     # arrays): every origin-dependent term of the bounce-0 intersect
@@ -725,7 +768,8 @@ def _uniform_from_bits(shape, dtype):
 def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,
                       tile_rows: int = 32, rng: str = "internal",
                       interpret: bool | None = None,
-                      n_rays: int | None = None):
+                      n_rays: int | None = None,
+                      fastmath: bool = False):
     """Build the fully-fused forward pass: camera ray generation, uniform
     sampling, and the whole wavefront loop in ONE kernel — per-ray HBM
     traffic is just the radiance write.
@@ -752,13 +796,15 @@ def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,
     """
     return make_fused_segment_tracer(scene, cam, cfg, 0, cfg.max_depth,
                                      n_rays=n_rays, tile_rows=tile_rows,
-                                     rng=rng, interpret=interpret)
+                                     rng=rng, interpret=interpret,
+                                     fastmath=fastmath)
 
 
 def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
                        tile_rows: int = 32, rng: str = "internal",
                        interpret: bool | None = None,
-                       n_rays: int | None = None):
+                       n_rays: int | None = None,
+                       fastmath: bool = False):
     """Fused radiative-backprop adjoint for the fused tracer: regenerate
     the primary rays and uniforms in-kernel, retrace collecting residuals
     in VMEM scratch, reverse-sweep, and accumulate parameter-grad partials
@@ -775,7 +821,8 @@ def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
     """
     seg = make_fused_segment_adjoint(scene, cam, cfg, 0, cfg.max_depth,
                                      n_rays=n_rays, tile_rows=tile_rows,
-                                     rng=rng, interpret=interpret)
+                                     rng=rng, interpret=interpret,
+                                     fastmath=fastmath)
     if rng == "internal":
         def adjoint(albedo_tab, emission_tab, seeds, g: V3, tile_base=0):
             return seg(albedo_tab, emission_tab, seeds, g.x, g.y, g.z,
@@ -896,7 +943,8 @@ def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
                               b_start: int, b_end: int,
                               n_rays: int | None = None,
                               tile_rows: int = 32, rng: str = "internal",
-                              interpret: bool | None = None):
+                              interpret: bool | None = None,
+                              fastmath: bool = False):
     """Forward kernel for bounces [b_start, b_end) of the wavefront.
 
     b_start == 0 generates camera rays in-kernel; otherwise the segment
@@ -970,7 +1018,8 @@ def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
             else:
                 u_s, u_t = cu_ref[0], cu_ref[1]
             o, d = _camera_rays_static(sc, spp_c, tile_rows, base_idx,
-                                       u_s, u_t, dtype)
+                                       u_s, u_t, dtype,
+                                       fastmath=fastmath)
             T = None
             alive = None
         else:
@@ -983,7 +1032,7 @@ def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
         L, o2, d2, T2, alive2 = _wavefront_body(
             ss, cfg, alb_ref, emis_ref, o, d, get_u, dtype,
             b_start=b_start, b_end=b_end, T=T, alive=alive,
-            full_output=True)
+            full_output=True, fastmath=fastmath)
         out_refs[0][...] = L.x
         out_refs[1][...] = L.y
         out_refs[2][...] = L.z
@@ -1053,7 +1102,8 @@ def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
 def make_fused_collect_tracer(scene: Scene, cam, cfg: RenderConfig,
                               tile_rows: int = 32, rng: str = "internal",
                               interpret: bool | None = None,
-                              n_rays: int | None = None):
+                              n_rays: int | None = None,
+                              fastmath: bool = False):
     """Full-depth fused forward tracer that ALSO writes the per-bounce
     adjoint residuals `(sc, best)` to HBM — the memory side of the
     store-vs-retrace tradeoff for radiative backprop.
@@ -1119,7 +1169,7 @@ def make_fused_collect_tracer(scene: Scene, cam, cfg: RenderConfig,
 
         base_idx = gi * (tile_rows * LANES)
         o, d = _camera_rays_static(sc, spp_c, tile_rows, base_idx,
-                                   u_s, u_t, dtype)
+                                   u_s, u_t, dtype, fastmath=fastmath)
 
         def on_residual(lb, P, sc_b, gate, masks):
             rsc_ref[lb] = sc_b
@@ -1129,7 +1179,8 @@ def make_fused_collect_tracer(scene: Scene, cam, cfg: RenderConfig,
             rbest_ref[lb] = best
 
         L = _wavefront_body(ss, cfg, alb_ref, emis_ref, o, d, get_u,
-                            dtype, on_residual=on_residual)
+                            dtype, on_residual=on_residual,
+                            fastmath=fastmath)
         lx[...] = L.x
         ly[...] = L.y
         lz[...] = L.z
@@ -1267,7 +1318,8 @@ def make_fused_segment_adjoint(scene: Scene, cam, cfg: RenderConfig,
                                b_start: int, b_end: int,
                                n_rays: int | None = None,
                                tile_rows: int = 32, rng: str = "internal",
-                               interpret: bool | None = None):
+                               interpret: bool | None = None,
+                               fastmath: bool = False):
     """Adjoint kernel for bounces [b_start, b_end): retrace the segment
     (replaying its streams / tape), reverse-sweep with the boundary
     suffix radiance, and accumulate parameter-gradient partials.
@@ -1342,7 +1394,8 @@ def make_fused_segment_adjoint(scene: Scene, cam, cfg: RenderConfig,
             else:
                 u_s, u_t = cu_ref[0], cu_ref[1]
             o, d = _camera_rays_static(sc, spp_c, tile_rows, base_idx,
-                                       u_s, u_t, dtype)
+                                       u_s, u_t, dtype,
+                                       fastmath=fastmath)
             T = None
             alive = None
         else:
@@ -1355,7 +1408,8 @@ def make_fused_segment_adjoint(scene: Scene, cam, cfg: RenderConfig,
         on_residual = _make_residual_writer(*scratch, ss.n_shapes)
         _wavefront_body(ss, cfg, alb_ref, emis_ref, o, d, get_u, dtype,
                         on_residual=on_residual, b_start=b_start,
-                        b_end=b_end, T=T, alive=alive)
+                        b_end=b_end, T=T, alive=alive,
+                        fastmath=fastmath)
 
         g = V3(gx[...], gy[...], gz[...])
         S_end = (V3(send_refs[0][...], send_refs[1][...],

@@ -119,6 +119,9 @@ def inverse_render(scene: Scene, cfg: RenderConfig, cam: Camera,
         if (checkpoint_dir is not None and checkpoint_every
                 and ((i + 1) % checkpoint_every == 0 or i == steps - 1)):
             save_orbax(checkpoint_dir, state, key, step=i + 1)
+    if checkpoint_dir is not None:
+        from drt_tpu.utils.checkpoint import close_orbax
+        close_orbax(checkpoint_dir)
     if mlog:
         mlog.close()
     if not losses:  # fully resumed past `steps`

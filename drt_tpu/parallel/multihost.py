@@ -140,31 +140,50 @@ class TileScheduler:
         return [j for j in self.jobs if j.index % n == pid]
 
 
-def make_tile_renderer(scene, cam, base_cfg, params):
+def make_tile_renderer(scene, cam, base_cfg, params, cam_u=None,
+                       tape=None):
     """Build a `render_tile(job, seed)` for TileScheduler from the
     wavefront renderer: each tile is rendered as a sub-image with its own
-    pixel grid offset (pure in (job, seed) -> idempotent re-dispatch)."""
+    pixel grid offset (pure in (job, seed) -> idempotent re-dispatch).
+
+    cam_u/tape: optional GLOBAL uniform arrays (f[N, 2] camera jitter,
+    f[D, 3, N] bounce tape, N = W*H*spp in the monolithic raster
+    pixel-major / spp-minor ray order). When given, each tile consumes
+    its slice of the shared streams, so the tiled image equals the
+    monolithic render EXACTLY (seed-matched decomposition) — per-ray
+    randomness is a function of the global ray id, not of the tiling."""
     import jax.numpy as jnp2
 
     from drt_tpu.camera import camera_rays
     from drt_tpu.renderer import trace_rays
 
     spp = base_cfg.spp
+    use_tape = tape is not None
+    if use_tape != (cam_u is not None):
+        raise ValueError("pass cam_u and tape together (or neither)")
 
     def render_tile(job: TileJob, seed: int) -> np.ndarray:
         ys, xs = np.mgrid[job.y0:job.y0 + job.height,
                           job.x0:job.x0 + job.width]
-        xy = jnp2.asarray(
-            np.stack([xs.ravel(), ys.ravel()], -1).repeat(spp, axis=0),
-            jnp2.int32)
-        key = jax.random.fold_in(jax.random.key(seed), job.index)
+        pix = np.stack([xs.ravel(), ys.ravel()], -1)
+        xy = jnp2.asarray(pix.repeat(spp, axis=0), jnp2.int32)
         n = xy.shape[0]
-        cu = jax.random.uniform(jax.random.fold_in(key, 0), (n, 2),
-                                dtype=jnp2.float32)
+        if use_tape:
+            # Global ray ids of this tile's rays (pixel-major, spp minor).
+            gid = ((pix[:, 1] * base_cfg.width + pix[:, 0])[:, None] * spp
+                   + np.arange(spp)).ravel()
+            cu = cam_u[gid]
+            tp = tape[:, :, gid]
+            key = None
+        else:
+            key = jax.random.fold_in(jax.random.key(seed), job.index)
+            cu = jax.random.uniform(jax.random.fold_in(key, 0), (n, 2),
+                                    dtype=jnp2.float32)
+            tp = None
         o, d, pdf = camera_rays(cam, base_cfg.width, base_cfg.height,
                                 xy, cu)
-        L = trace_rays(params, scene, o, d, jax.random.fold_in(key, 1),
-                       base_cfg)
+        k = None if key is None else jax.random.fold_in(key, 1)
+        L = trace_rays(params, scene, o, d, k, base_cfg, tape=tp)
         chans = [np.asarray(c / pdf).reshape(job.height, job.width, spp)
                  .mean(-1) for c in L]
         return np.stack(chans, -1)

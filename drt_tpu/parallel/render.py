@@ -20,6 +20,11 @@ from drt_tpu.renderer import render_image, trace_rays
 from drt_tpu.scene import Params, Scene
 
 
+# Scene-size ceiling of the memory-resident (dyn) kernels: the shape
+# arrays live in SMEM (~80 B/shape across geo + aux + attribute rows).
+MAX_DYN_SHAPES = 2048
+
+
 def resolve_backend(scene: Scene, cfg: RenderConfig, mesh: Mesh | None,
                     backend: str = "auto") -> str:
     """Resolve "auto" to the concrete backend make_renderer will use.
@@ -29,24 +34,37 @@ def resolve_backend(scene: Scene, cfg: RenderConfig, mesh: Mesh | None,
     (kernel compile time grows with max_depth: ~8 s fwd / ~10 s adjoint
     at depth 32 on v5e), single-BSDF-sample estimator (per-vertex
     splitting is XLA-only), and — on a mesh — whole tiles per device.
+    Small scenes (<= 24 shapes) take the scene-BAKED megakernels
+    ("pallas"); larger scenes up to MAX_DYN_SHAPES take the
+    memory-resident kernels ("pallas-dyn", ops/dynkernel.py) whose
+    compile time is scene-size independent; beyond that, the XLA
+    wavefront with its lax.scan intersect.
     """
     if backend != "auto":
         return backend
-    fused_ok = (jax.default_backend() == "tpu"
-                and cfg.max_depth <= 32
-                and scene.shape_geo.dtype == jnp.float32
-                and cfg.bsdf_samples == 1
-                # The megakernel unrolls the nearest-hit loop over baked
-                # shapes; compile time grows with n_shapes * max_depth.
-                # Past this, the scan-based XLA intersect (which also
-                # handles big scenes, ops/intersect.py) is the right path.
-                and scene.num_shapes <= 24)
+    common_ok = (jax.default_backend() == "tpu"
+                 and cfg.max_depth <= 32
+                 and scene.shape_geo.dtype == jnp.float32)
+    # The baked megakernel unrolls the nearest-hit loop over baked
+    # shapes; compile time grows with n_shapes * max_depth — cap it.
+    baked_ok = common_ok and scene.num_shapes <= 24
+    dyn_ok = common_ok and scene.num_shapes <= MAX_DYN_SHAPES
+    if cfg.bsdf_samples > 1:
+        # Tree splitting: fused tape-mode kernels over M leaf lanes
+        # with prefix-shared uniforms (single-chip); XLA elsewhere.
+        return ("pallas-split" if (baked_ok and mesh is None)
+                else "xla")
     if mesh is None:
-        return "pallas" if fused_ok else "xla"
+        return "pallas" if baked_ok else ("pallas-dyn" if dyn_ok
+                                          else "xla")
     n_dev = int(mesh.devices.size)
     n_rays = cfg.width * cfg.height * (cfg.spp // cfg.spp_chunks)
     tiles_ok = n_rays % (n_dev * 32 * 128) == 0
-    return "pallas-sharded" if (fused_ok and tiles_ok) else "xla"
+    if baked_ok and tiles_ok:
+        return "pallas-sharded"
+    if dyn_ok and tiles_ok:
+        return "pallas-dyn-sharded"
+    return "xla"
 
 
 def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
@@ -58,32 +76,56 @@ def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
     are replicated; gradients of the returned function psum over the mesh.
 
     backend: "xla" = the shardable wavefront scan; "pallas" = the fused
-    single-chip megakernel pipeline (drt_tpu/fused.py); "pallas-sharded"
-    = the fused kernels per shard under shard_map; "auto" picks a fused
-    path on TPU at moderate depth (kernel compile time and VMEM residuals
-    grow with max_depth) when the ray count tiles over the mesh, else xla.
+    single-chip scene-BAKED megakernel pipeline (drt_tpu/fused.py);
+    "pallas-dyn" = the fused memory-resident-scene kernels
+    (ops/dynkernel.py — big scenes / triangle meshes); "pallas-sharded"
+    / "pallas-dyn-sharded" = the same kernels per shard under
+    shard_map; "auto" picks a fused path on TPU at moderate depth
+    (kernel compile time and VMEM residuals grow with max_depth) when
+    the ray count tiles over the mesh, else xla.
     """
     backend = resolve_backend(scene, cfg, mesh, backend)
-    if backend in ("pallas", "pallas-sharded") and cfg.bsdf_samples != 1:
-        raise ValueError("bsdf_samples > 1 (per-vertex splitting) is "
-                         "implemented on the xla backend only")
-    if backend == "pallas":
+    if (backend.startswith("pallas") and backend != "pallas-split"
+            and cfg.bsdf_samples != 1):
+        raise ValueError("bsdf_samples > 1 (per-vertex splitting) runs "
+                         "on the xla backend or backend='pallas-split'")
+    if backend == "pallas-split":
         if mesh is not None:
-            raise ValueError("pallas backend is single-chip; use "
-                             "pallas-sharded or xla for meshes")
-        from drt_tpu.fused import make_fused_image_renderer, seeds_from_key
-        fused = make_fused_image_renderer(scene, cam, cfg)
+            raise ValueError("pallas-split is single-chip; use xla for "
+                             "meshes with bsdf_samples > 1")
+        from drt_tpu.fused import (make_split_fused_image_renderer,
+                                   seeds_from_key)
+        fused = make_split_fused_image_renderer(scene, cam, cfg)
 
         def render(params: Params, key) -> jnp.ndarray:
             return fused(params, seeds_from_key(key))
 
         return jax.jit(render)
-    if backend == "pallas-sharded":
-        if mesh is None:
-            raise ValueError("pallas-sharded backend requires a mesh")
-        from drt_tpu.fused import (make_sharded_fused_image_renderer,
+    if backend in ("pallas", "pallas-dyn"):
+        if mesh is not None:
+            raise ValueError(f"{backend} backend is single-chip; use "
+                             f"{backend}-sharded or xla for meshes")
+        from drt_tpu.fused import (make_dyn_image_renderer,
+                                   make_fused_image_renderer,
                                    seeds_from_key)
-        fused = make_sharded_fused_image_renderer(scene, cam, cfg, mesh)
+        make = (make_fused_image_renderer if backend == "pallas"
+                else make_dyn_image_renderer)
+        fused = make(scene, cam, cfg)
+
+        def render(params: Params, key) -> jnp.ndarray:
+            return fused(params, seeds_from_key(key))
+
+        return jax.jit(render)
+    if backend in ("pallas-sharded", "pallas-dyn-sharded"):
+        if mesh is None:
+            raise ValueError(f"{backend} backend requires a mesh")
+        from drt_tpu.fused import (make_sharded_dyn_image_renderer,
+                                   make_sharded_fused_image_renderer,
+                                   seeds_from_key)
+        make = (make_sharded_fused_image_renderer
+                if backend == "pallas-sharded"
+                else make_sharded_dyn_image_renderer)
+        fused = make(scene, cam, cfg, mesh)
 
         def render(params: Params, key) -> jnp.ndarray:
             return fused(params, seeds_from_key(key))

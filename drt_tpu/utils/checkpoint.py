@@ -42,6 +42,34 @@ def restore(path: str, like: TrainState):
 
 # -- orbax backend (multi-host-capable, async-friendly) ----------------------
 
+# One CheckpointManager per directory, reused across saves/restores in a
+# training loop (constructing a fresh manager per save is O(steps)
+# directory-scan churn). Closed explicitly via close_orbax() or at exit.
+_MANAGERS: dict[str, object] = {}
+
+
+def _manager(directory: str):
+    import orbax.checkpoint as ocp
+
+    key = str(pathlib.Path(directory).resolve())
+    mgr = _MANAGERS.get(key)
+    if mgr is None:
+        mgr = ocp.CheckpointManager(key)
+        _MANAGERS[key] = mgr
+    return mgr
+
+
+def close_orbax(directory: str | None = None) -> None:
+    """Flush and close the cached CheckpointManager(s); call at the end
+    of a training run (waits for any async save)."""
+    keys = ([str(pathlib.Path(directory).resolve())] if directory
+            else list(_MANAGERS))
+    for k in keys:
+        mgr = _MANAGERS.pop(k, None)
+        if mgr is not None:
+            mgr.close()
+
+
 def save_orbax(directory: str, state: TrainState, key, step: int | None
                = None) -> None:
     """Persist a TrainState + RNG key with orbax (the TPU-ecosystem
@@ -52,9 +80,9 @@ def save_orbax(directory: str, state: TrainState, key, step: int | None
     step = int(state.step) if step is None else step
     payload = {"state": state,
                "key_data": np.asarray(jax.random.key_data(key))}
-    with ocp.CheckpointManager(pathlib.Path(directory).resolve()) as mgr:
-        mgr.save(step, args=ocp.args.StandardSave(payload))
-        mgr.wait_until_finished()
+    mgr = _manager(directory)
+    mgr.save(step, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
 
 
 def restore_orbax(directory: str, like: TrainState, step: int | None = None):
@@ -64,9 +92,9 @@ def restore_orbax(directory: str, like: TrainState, step: int | None = None):
 
     template = {"state": like,
                 "key_data": np.zeros((2,), np.uint32)}
-    with ocp.CheckpointManager(pathlib.Path(directory).resolve()) as mgr:
-        step = mgr.latest_step() if step is None else step
-        out = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    mgr = _manager(directory)
+    step = mgr.latest_step() if step is None else step
+    out = mgr.restore(step, args=ocp.args.StandardRestore(template))
     key = jax.random.wrap_key_data(
         np.asarray(out["key_data"], np.uint32))
     return out["state"], key, step

@@ -46,12 +46,20 @@ def make_tape_ints(n: int, seed: int) -> np.ndarray:
 
 
 def run(width: int, height: int, spp: int, *, min_bounces=1, absorb=0.5,
-        seed=0, grad=False, draws_per_sample=96):
+        seed=0, grad=False, unbiased=False, draws_per_sample=96):
     """Run the golden harness. Returns dict with:
        image f64[H,W,3], grads f64[4,3] (grad mode), uniforms f64[n],
-       consumed int (tape draws used)."""
+       consumed int (tape draws used), render_seconds float (the C++
+       pixel loop only — no process spawn / tape IO overhead).
+
+    unbiased=True enables the reference's IntegrateBackward machinery
+    (integrate.hpp:11-24): the backward re-draws samples from the SAME
+    global rand() stream at backward time (extra tape consumption —
+    unbiased gradient runs consume far more than draws_per_sample)."""
     binary = build()
     n_samples = width * height * spp
+    if unbiased and grad:
+        draws_per_sample = max(draws_per_sample, 512)
     n_tape = n_samples * draws_per_sample + 1024
     for attempt in range(4):
         ints = make_tape_ints(n_tape, seed)
@@ -62,7 +70,8 @@ def run(width: int, height: int, spp: int, *, min_bounces=1, absorb=0.5,
             proc = subprocess.run(
                 [str(binary), str(width), str(height), str(spp),
                  str(min_bounces), str(absorb), str(tape_path),
-                 str(out_path), "1" if grad else "0"],
+                 str(out_path), "1" if grad else "0",
+                 "1" if unbiased else "0"],
                 capture_output=True, text=True)
             if proc.returncode == 3:  # tape exhausted: retry bigger
                 n_tape *= 4
@@ -80,6 +89,7 @@ def run(width: int, height: int, spp: int, *, min_bounces=1, absorb=0.5,
         grads = data[off:off + 12].reshape(4, 3)
         off += 12
     consumed = int(data[off])
+    render_seconds = float(data[off + 1])
     uniforms = ints.astype(np.float64) / RAND_MAX
     return {"image": image, "grads": grads, "uniforms": uniforms,
-            "consumed": consumed}
+            "consumed": consumed, "render_seconds": render_seconds}

@@ -66,6 +66,11 @@ class Tape:
             self.bounce_u[depth, ray, slot] = v
         return v
 
+    def draw_raw(self) -> float:
+        """Linear-only draw (no structured slot) — backward-time draws
+        of the unbiased mode have no (ray, bounce, slot) home."""
+        return self._next()
+
 
 def _dot(a, b):
     return float(a[0] * b[0] + a[1] * b[1] + a[2] * b[2])
@@ -111,11 +116,16 @@ def angle_to_dir(theta, phi, frame):
 class Diffuse:
     """reference: bxdf.hpp:56-83."""
 
-    def __init__(self, color):
+    def __init__(self, color, alb_id=None):
         self.color = np.asarray(color, dtype=np.float64)
+        self.alb_id = alb_id  # albedo leaf row for unbiased grads
 
     def eval(self, normal, dir_in, dir_out):
         return self.color / PI
+
+    def scale(self, normal, dir_in, dir_out):
+        """eval without the color leaf: d eval / d color (scalar)."""
+        return 1.0 / PI
 
     def sample(self, normal, dir_in, draw):
         theta = math.asin(math.sqrt(draw(SLOT_U1)))
@@ -129,17 +139,20 @@ class Diffuse:
 class Specular:
     """reference: bxdf.hpp:85-124."""
 
-    def __init__(self, color, exponent):
+    def __init__(self, color, exponent, alb_id=None):
         self.color = np.asarray(color, dtype=np.float64)
         self.exponent = float(exponent)
+        self.alb_id = alb_id
 
     def eval(self, normal, dir_in, dir_out):
+        return self.scale(normal, dir_in, dir_out) * self.color
+
+    def scale(self, normal, dir_in, dir_out):
         halfway = _normalize(dir_in + dir_out)
         cos_t = _dot(normal, halfway)
         sin_t = math.sqrt(max(1.0 - cos_t * cos_t, 0.0))
-        factor = ((self.exponent + 2.0) / (2.0 * PI)
-                  * math.pow(cos_t, self.exponent) * sin_t)
-        return factor * self.color
+        return ((self.exponent + 2.0) / (2.0 * PI)
+                * math.pow(cos_t, self.exponent) * sin_t)
 
     def sample(self, normal, dir_in, draw):
         e = self.exponent
@@ -158,6 +171,8 @@ class Specular:
 class Mirror:
     """reference: bxdf.hpp:126-144 (eval broadcasts 1/cos to a vec3)."""
 
+    alb_id = None  # no color leaf: constant-valued eval
+
     def eval(self, normal, dir_in, dir_out):
         return np.full(3, 1.0 / _dot(normal, dir_out))
 
@@ -168,11 +183,13 @@ class Mirror:
 class Plane:
     """reference: shape.hpp:37-64."""
 
-    def __init__(self, normal, offset, bxdf=None, emission=None):
+    def __init__(self, normal, offset, bxdf=None, emission=None,
+                 em_id=None):
         self.normal_v = np.asarray(normal, dtype=np.float64)
         self.offset = float(offset)
         self.bxdf = bxdf
         self.emission = emission
+        self.em_id = em_id
 
     def intersect(self, o, d):
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -188,11 +205,13 @@ class Plane:
 class Sphere:
     """reference: shape.hpp:66-111."""
 
-    def __init__(self, center, radius, bxdf=None, emission=None):
+    def __init__(self, center, radius, bxdf=None, emission=None,
+                 em_id=None):
         self.center = np.asarray(center, dtype=np.float64)
         self.radius = float(radius)
         self.bxdf = bxdf
         self.emission = emission
+        self.em_id = em_id
 
     def intersect(self, o, d):
         oc = o - self.center
@@ -272,6 +291,133 @@ class MirrorTracer:
         return full, trunc
 
 
+class UnbiasedMirrorTracer(MirrorTracer):
+    """The reference's UNBIASED mode (`integrate(..., unbiased=true)`,
+    integrate.hpp:39-52): the forward returns a DETACHED estimate, and
+    `IntegrateBackward` (integrate.hpp:11-24) re-draws samples from the
+    same global rand() stream at backward time, eagerly re-traces a
+    fresh value path, and recurses ONE level per fired node (the deeper
+    integrate nodes of each value path sit behind the detach and only
+    continue the walk through their own IntegrateBackward).
+
+    Draw-consumption order per sample (deterministic given the tape):
+      forward: identical to biased mode (camera s,t then per-vertex
+      RR/theta/phi — integrate_unbiased's value loop, :45-47).
+      backward at vertex w_k with grad g_k:
+        sampler() at w_k (theta, phi) -> dir'_k, pdf'_k
+        eager value path from depth_k+1 along dir'_k (RR/theta/phi per
+          fresh vertex until death — plain forward consumption)
+        d albedo(w_k) += g_k/pdf' * cos' (.) L'     (MulBackward,
+          vector.hpp:443-451, through the brdf leaf)
+        d emission(w_{k+1}) += g_{k+1}              (the fresh hit)
+        recurse at w_{k+1} with g_{k+1} = g_k/pdf' * cos' (.) f' / p
+      The chain stops when a value path dies before its first vertex.
+    """
+
+    def trace_u(self, o, d, depth, tape: Tape, ray: int,
+                record: bool = True):
+        """Returns (detached radiance, bwd | None); bwd(g, grads)
+        replays the reference's backward walk, consuming more tape."""
+        zeros = np.zeros(3)
+        if depth >= self.min_bounces:
+            u = (tape.draw_bounce(ray, depth, SLOT_RR) if record
+                 else tape.draw_raw())
+            if u < self.absorb:
+                return zeros, None
+            p = 1.0 - self.absorb
+        else:
+            p = 1.0
+        hit = self.raycast(o, d)
+        if hit is None:
+            return zeros, None
+        point, normal, shape = hit
+
+        def draw_fwd(slot):
+            return (tape.draw_bounce(ray, depth, slot) if record
+                    else tape.draw_raw())
+
+        # integrate_unbiased value loop (:45-47): sampler first, then
+        # the eager forward; result detached.
+        if shape.bxdf is not None:
+            dir_out, pdf = shape.bxdf.sample(normal, -d, draw_fwd)
+            f = shape.bxdf.eval(normal, -d, dir_out)
+        else:
+            dir_out, pdf = zeros, 1.0  # pathtracer.hpp:17-26 null
+            f = zeros
+        orig2 = point + 1e-3 * dir_out
+        l_val, _ = self.trace_u(orig2, dir_out, depth + 1, tape, ray,
+                                record)
+        cos_t = _dot(normal, dir_out)
+        em = (np.asarray(shape.emission, dtype=np.float64)
+              if shape.emission is not None else zeros)
+        value = (em + f * l_val * cos_t / pdf) / p
+
+        def bwd(g, grads):
+            h = g / p  # ScalarDiv backward (vector.hpp:465-484)
+            if shape.emission is not None:
+                grads["emission"][shape.em_id] += h
+            # IntegrateBackward (integrate.hpp:15-18): fresh sampler
+            # draw, eager fresh forward, backward(grad / pdf).
+            if shape.bxdf is not None:
+                dir2, pdf2 = shape.bxdf.sample(
+                    normal, -d, lambda slot: tape.draw_raw())
+                f2 = shape.bxdf.eval(normal, -d, dir2)
+            else:
+                dir2, pdf2 = zeros, 1.0
+                f2 = zeros
+            orig3 = point + 1e-3 * dir2
+            l2, bwd2 = self.trace_u(orig3, dir2, depth + 1, tape, ray,
+                                    record=False)
+            cos2 = _dot(normal, dir2)
+            hp = g / p / pdf2
+            # MulBackward through (f2 (.) radiance) * cos2.
+            if shape.bxdf is not None and shape.bxdf.alb_id is not None:
+                grads["albedo"][shape.bxdf.alb_id] += (
+                    hp * cos2 * l2 * shape.bxdf.scale(normal, -d, dir2))
+            if bwd2 is not None:
+                bwd2(hp * cos2 * f2, grads)
+
+        return value, bwd
+
+
+def render_mirror_unbiased(width, height, spp, *, absorb=0.5,
+                           min_bounces=1, max_depth=64, seed=0,
+                           scene=None, camera=None, tape_values=None,
+                           n_albedo=3, n_emission=1):
+    """Forward render + the reference's UNBIASED backward per sample
+    (radiance.backward(1) right after each sample, as the golden
+    harness's grad mode does), all consuming ONE linear stream.
+
+    Returns (img f64[H,W,3], grads dict{albedo f64[Ka,3], emission
+    f64[Le,3]}, tape)."""
+    if scene is None:
+        scene = build_cbox()
+    if camera is None:
+        camera = MirrorCamera(width, height)
+        camera.look_at([0.0, 0.0, 0.0], [0.0, 0.0, 1.0])
+    tracer = UnbiasedMirrorTracer(scene, absorb, min_bounces)
+    n = width * height * spp
+    tape = Tape(np.random.default_rng(seed), n, max_depth,
+                values=tape_values)
+    grads = {"albedo": np.zeros((n_albedo, 3)),
+             "emission": np.zeros((n_emission, 3))}
+    img = np.zeros((height, width, 3))
+    ray = 0
+    ones = np.ones(3)
+    for y in range(height):
+        for x in range(width):
+            pixel = np.zeros(3)
+            for _ in range(spp):
+                d, pdf = camera.sample(x, y, tape, ray)
+                val, bwd = tracer.trace_u(camera.eye, d, 0, tape, ray)
+                pixel += val / pdf
+                if bwd is not None:
+                    bwd(ones, grads)
+                ray += 1
+            img[y, x] = pixel / spp
+    return img, grads, tape
+
+
 class MirrorCamera:
     """reference: camera.hpp (look_at basis, -up t-axis, pdf 1)."""
 
@@ -310,7 +456,10 @@ def build_cbox():
     green = np.array([0.0, 0.5, 0.0])
     white = np.array([0.5, 0.5, 0.5])
     emission = np.array([1.0, 1.0, 1.0])
-    dr, dg, dw = Diffuse(red), Diffuse(green), Diffuse(white)
+    # alb_id/em_id: leaf rows for the unbiased-mode gradient walk,
+    # matching the golden harness's param order {red, green, white}.
+    dr, dg, dw = (Diffuse(red, alb_id=0), Diffuse(green, alb_id=1),
+                  Diffuse(white, alb_id=2))
     scene = [
         Sphere([0.0, 0.0, 3.0], 1.0, dw),
         Sphere([-1.0, 1.0, 4.5], 1.0, dw),
@@ -320,7 +469,7 @@ def build_cbox():
         Plane([0.0, 0.0, 1.0], 0.0, dw),
         Plane([0.0, 1.0, 0.0], -3.0, dw),
         Plane([0.0, -1.0, 0.0], -3.0, dw),
-        Sphere([0.0, 3.0, 3.0], 1.0, None, emission),
+        Sphere([0.0, 3.0, 3.0], 1.0, None, emission, em_id=0),
     ]
     return scene
 

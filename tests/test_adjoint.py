@@ -300,3 +300,61 @@ def test_jvp_dual_number_ground_truth():
                + jnp.sum(grad.emission * v.emission))
         np.testing.assert_allclose(float(dot), float(tangent),
                                    rtol=1e-9, atol=1e-12)
+
+
+def test_tape_driven_unbiased_identity():
+    """bwd_tape mode (VERDICT r2 #4): the unbiased backward consumes a
+    SECOND injected tape for its fresh retrace. With tape_bwd ==
+    tape_fwd it must reduce EXACTLY to the biased replay — the
+    sample-matched identity between integrate.hpp:26-37 (replay) and
+    integrate.hpp:11-24 (redraw) when the 'fresh' draws happen to equal
+    the forward's."""
+    import dataclasses
+    scene, params, cfg0, o, d, tape = _setup()
+    cfg = dataclasses.replace(cfg0, unbiased=True)
+    diff_u = make_diff_renderer(scene, cfg, use_tape=True, bwd_tape=True)
+    diff_b = make_diff_renderer(scene, cfg0, use_tape=True)
+
+    g_u = jax.grad(lambda p: vsum(diff_u(p, o, d, tape, tape)))(params)
+    g_b = jax.grad(lambda p: vsum(diff_b(p, o, d, tape)))(params)
+    np.testing.assert_array_equal(np.asarray(g_u.albedo),
+                                  np.asarray(g_b.albedo))
+    np.testing.assert_array_equal(np.asarray(g_u.emission),
+                                  np.asarray(g_b.emission))
+
+
+def test_tape_driven_unbiased_expectation():
+    """Averaged over many independent backward tapes, the tape-driven
+    unbiased gradient matches the biased (replayed) gradient within
+    standard-error bounds — the estimator is unbiased for the same
+    quantity."""
+    import dataclasses
+    scene, params, cfg0, o, d, tape = _setup(width=6, height=4, spp=2,
+                                             max_depth=6)
+    cfg = dataclasses.replace(cfg0, unbiased=True)
+    diff_u = make_diff_renderer(scene, cfg, use_tape=True, bwd_tape=True)
+    diff_b = make_diff_renderer(scene, cfg0, use_tape=True)
+    g_b = jax.grad(lambda p: vsum(diff_b(p, o, d, tape)))(params)
+
+    n_trials = 24
+    key = jax.random.key(123)
+    samples = []
+    grad_fn = jax.jit(jax.grad(
+        lambda p, tb: vsum(diff_u(p, o, d, tape, tb))))
+    for i in range(n_trials):
+        tb = jax.random.uniform(jax.random.fold_in(key, i), tape.shape,
+                                dtype=tape.dtype)
+        g = grad_fn(params, tb)
+        samples.append(np.concatenate([np.asarray(g.albedo).ravel(),
+                                       np.asarray(g.emission).ravel()]))
+    samples = np.stack(samples)
+    target = np.concatenate([np.asarray(g_b.albedo).ravel(),
+                             np.asarray(g_b.emission).ravel()])
+    mean = samples.mean(axis=0)
+    se = samples.std(axis=0, ddof=1) / np.sqrt(n_trials)
+    # 5-sigma band; also require the bound to be informative (catches a
+    # 50% systematic error on the dominant entries).
+    scale = np.abs(target).max()
+    np.testing.assert_array_less(np.abs(mean - target),
+                                 5.0 * se + 1e-12 * scale)
+    assert (5.0 * se).max() < 0.5 * scale

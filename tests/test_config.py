@@ -33,4 +33,18 @@ def test_boundary_values_accepted():
     RenderConfig(absorb_prob=0.0, min_bounces=0)
     RenderConfig(min_bounces=8, max_depth=8)
     RenderConfig(spp=8, spp_chunks=8)
-    RenderConfig(bsdf_samples=2, adjoint_samples=4)
+    RenderConfig(width=64, height=48, spp=4, max_depth=5,
+                 bsdf_samples=2, adjoint_samples=4)
+
+
+def test_splitting_lane_budget_guard():
+    """bsdf_samples=2 at the default max_depth=32 demands 2^31 leaf
+    lanes per ray — must be a config error, not an OOM (VERDICT r2 #5)."""
+    with pytest.raises(ValueError, match="leaf lanes"):
+        RenderConfig(bsdf_samples=2)
+    with pytest.raises(ValueError, match="leaf lanes"):
+        # Modest splitting, but the ray count pushes total lanes over.
+        RenderConfig(width=640, height=480, spp=100, max_depth=5,
+                     bsdf_samples=4)
+    # Small scenes with shallow trees stay fine.
+    RenderConfig(width=64, height=48, spp=8, max_depth=4, bsdf_samples=3)

@@ -1,0 +1,222 @@
+"""Memory-resident-scene (dyn) megakernels vs the XLA wavefront path
+(Pallas interpret mode on CPU).
+
+The dyn kernels (drt_tpu/ops/dynkernel.py) read the scene from SMEM
+arrays at run time — the TPU form of the reference's dynamic O(S)
+dispatch loop (include/drt/pathtracer.hpp:72-89) — so forward radiance
+and adjoint parameter gradients must agree with `trace_rays` on the
+same uniform tape for ANY scene, including ones far past the baked
+kernels' 24-shape unroll budget. Both loop modes (Python unroll and
+lax.fori_loop) are exercised.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from drt_tpu.camera import camera_rays
+from drt_tpu.config import RenderConfig
+from drt_tpu.fused import (make_dyn_image_renderer,
+                           make_sharded_dyn_image_renderer)
+from drt_tpu.models import cbox, gallery
+from drt_tpu.ops.dynkernel import (DynScene, make_dyn_adjoint,
+                                   make_dyn_collect_tracer,
+                                   make_dyn_sweep_adjoint,
+                                   make_dyn_tracer)
+from drt_tpu.ops.vecmath import V3
+from drt_tpu.renderer import trace_rays
+from drt_tpu.scene import albedo_table, emission_table
+
+SCENES = {
+    "cbox": lambda: cbox.build(dtype=jnp.float32),
+    "glossy": lambda: gallery.build_glossy(dtype=jnp.float32),
+    "tri": lambda: gallery.build_tri(dtype=jnp.float32),
+    # 87 shapes (80-triangle icosphere + box + light): the scene class
+    # the dyn kernels exist for — past the baked unroll budget.
+    "mesh80": lambda: gallery.build_mesh(level=1, dtype=jnp.float32),
+}
+
+
+def _setup(build, n=512, max_depth=4, seed=0):
+    scene, params, cam = build()
+    cfg = RenderConfig(width=8, height=8, spp=1, max_depth=max_depth)
+    cam_u = jax.random.uniform(jax.random.key(seed), (2, n),
+                               dtype=jnp.float32)
+    tape = jax.random.uniform(jax.random.key(seed + 1),
+                              (max_depth, 3, n), dtype=jnp.float32)
+    # Primary rays exactly as the in-kernel camera maps them
+    # (spp-outer: ray i -> pixel i % npix).
+    npix = cfg.width * cfg.height
+    pix = np.arange(n) % npix
+    xy = jnp.asarray(np.stack([pix % cfg.width, pix // cfg.width], -1),
+                     jnp.int32)
+    o, d, _ = camera_rays(cam, cfg.width, cfg.height, xy, cam_u.T)
+    return scene, params, cam, cfg, cam_u, tape, o, d
+
+
+@pytest.mark.parametrize("name", sorted(SCENES))
+@pytest.mark.parametrize("unroll", [16, 0])
+def test_forward_matches_xla_path(name, unroll):
+    scene, params, cam, cfg, cam_u, tape, o, d = _setup(SCENES[name])
+    L_ref = trace_rays(params, scene, o, d, None, cfg, tape=tape)
+    ds = DynScene(scene)
+    tracer = make_dyn_tracer(ds, cam, cfg, tile_rows=8, rng="tape",
+                             interpret=True, unroll_shapes=unroll,
+                             n_rays=o.x.shape[0])
+    L = tracer(albedo_table(scene, params), emission_table(scene, params),
+               ds.operands, cam_u, tape)
+    ra = np.stack([np.asarray(c) for c in L_ref])
+    pa = np.stack([np.asarray(c) for c in L])
+    assert ra.mean() > 0
+    np.testing.assert_allclose(pa, ra, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("name", ["glossy", "mesh80"])
+def test_adjoint_matches_xla_grads(name):
+    scene, params, cam, cfg, cam_u, tape, o, d = _setup(SCENES[name])
+    n = o.x.shape[0]
+    g = V3(*jax.random.uniform(jax.random.key(7), (3, n),
+                               dtype=jnp.float32))
+
+    def loss(p):
+        L = trace_rays(p, scene, o, d, None, cfg, tape=tape)
+        return (L.x * g.x + L.y * g.y + L.z * g.z).sum()
+
+    gp = jax.grad(loss)(params)
+    ds = DynScene(scene)
+    alb = albedo_table(scene, params)
+    emi = emission_table(scene, params)
+    adj = make_dyn_adjoint(ds, cam, cfg, tile_rows=8, rng="tape",
+                           interpret=True, n_rays=n)
+    da, de = adj(alb, emi, ds.operands, cam_u, tape, g.x, g.y, g.z)
+    k = params.albedo.shape[0]
+    l = params.emission.shape[0]
+    np.testing.assert_allclose(np.asarray(da)[:k], np.asarray(gp.albedo),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(de)[:l],
+                               np.asarray(gp.emission),
+                               rtol=1e-4, atol=1e-5)
+    assert np.abs(np.asarray(gp.albedo)).max() > 1e-3
+
+
+def test_stored_residual_sweep_bit_equals_retrace():
+    """The collect tracer's radiance is bit-equal to the plain tracer,
+    and the stored-residual sweep's gradients are bit-equal to the
+    retrace adjoint (same recurrences in the same op order)."""
+    scene, params, cam, cfg, cam_u, tape, o, d = _setup(
+        SCENES["mesh80"])
+    n = o.x.shape[0]
+    g = V3(*jax.random.uniform(jax.random.key(9), (3, n),
+                               dtype=jnp.float32))
+    ds = DynScene(scene)
+    alb = albedo_table(scene, params)
+    emi = emission_table(scene, params)
+    tracer = make_dyn_tracer(ds, cam, cfg, tile_rows=8, rng="tape",
+                             interpret=True, n_rays=n)
+    collect = make_dyn_collect_tracer(ds, cam, cfg, tile_rows=8,
+                                      rng="tape", interpret=True,
+                                      n_rays=n)
+    sweep = make_dyn_sweep_adjoint(ds, cfg, tile_rows=8, interpret=True)
+    adj = make_dyn_adjoint(ds, cam, cfg, tile_rows=8, rng="tape",
+                           interpret=True, n_rays=n)
+    L1 = tracer(alb, emi, ds.operands, cam_u, tape)
+    L2, rsc, rrow = collect(alb, emi, ds.operands, cam_u, tape)
+    for a, b in zip(L1, L2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    da_r, de_r = adj(alb, emi, ds.operands, cam_u, tape, g.x, g.y, g.z)
+    da_s, de_s = sweep(alb, emi, rsc, rrow, g)
+    np.testing.assert_array_equal(np.asarray(da_s), np.asarray(da_r))
+    np.testing.assert_array_equal(np.asarray(de_s), np.asarray(de_r))
+
+
+def _image_setup(max_depth=3):
+    scene, params, cam = gallery.build_mesh(level=1, dtype=jnp.float32)
+    cfg = RenderConfig(width=128, height=64, spp=1, max_depth=max_depth)
+    n = cfg.width * cfg.height * cfg.spp
+    cam_u = jax.random.uniform(jax.random.key(0), (2, n),
+                               dtype=jnp.float32)
+    tape = jax.random.uniform(jax.random.key(1), (max_depth, 3, n),
+                              dtype=jnp.float32)
+    return scene, params, cam, cfg, cam_u, tape, n
+
+
+def _ref_image_fn(scene, cam, cfg, cam_u, tape, n):
+    npix = cfg.width * cfg.height
+    pix = np.arange(n) % npix
+    xy = jnp.asarray(np.stack([pix % cfg.width, pix // cfg.width], -1),
+                     jnp.int32)
+    o, d, _ = camera_rays(cam, cfg.width, cfg.height, xy, cam_u.T)
+
+    def img(p):
+        L = trace_rays(p, scene, o, d, None, cfg, tape=tape)
+        spp_c = cfg.spp
+        chans = [c.reshape(spp_c, cfg.height, cfg.width).mean(axis=0)
+                 for c in L]
+        return jnp.stack(chans, axis=-1)
+
+    return img
+
+
+@pytest.mark.parametrize("adjoint", ["stored", "retrace"])
+def test_image_renderer_tape_parity(adjoint):
+    scene, params, cam, cfg, cam_u, tape, n = _image_setup()
+    img_ref = _ref_image_fn(scene, cam, cfg, cam_u, tape, n)
+    ref = img_ref(params)
+    gref = jax.grad(lambda p: img_ref(p).sum())(params)
+    render = make_dyn_image_renderer(scene, cam, cfg, tile_rows=8,
+                                     rng="tape", interpret=True,
+                                     adjoint=adjoint)
+    img = render(params, cam_u, tape)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+    gd = jax.grad(lambda p: render(p, cam_u, tape).sum())(params)
+    for a, b in zip(gd, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_sharded_dyn_matches_single_device():
+    """The sharded dyn path (scene operands replicated, rays sharded by
+    tile_base, grads psum'd) reproduces the single-device image
+    BIT-EXACTLY and the gradients to f32 reduction tolerance."""
+    scene, params, cam, cfg, cam_u, tape, n = _image_setup()
+    render1 = make_dyn_image_renderer(scene, cam, cfg, tile_rows=8,
+                                      rng="tape", interpret=True)
+    img1 = render1(params, cam_u, tape)
+    g1 = jax.grad(lambda p: render1(p, cam_u, tape).sum())(params)
+
+    n_dev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()).reshape(n_dev), ("d",))
+    render8 = make_sharded_dyn_image_renderer(scene, cam, cfg, mesh,
+                                              tile_rows=8, rng="tape",
+                                              interpret=True)
+    img8 = render8(params, cam_u, tape)
+    np.testing.assert_array_equal(np.asarray(img8), np.asarray(img1))
+    g8 = jax.grad(lambda p: render8(p, cam_u, tape).sum())(params)
+    for a, b in zip(g8, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_dynscene_rejects_f64():
+    scene, params, cam = cbox.build(dtype=jnp.float64)
+    with pytest.raises(ValueError, match="f32"):
+        DynScene(scene)
+
+
+def test_make_renderer_dyn_backend_smoke():
+    """make_renderer wires the pallas-dyn backend end to end (interpret
+    mode kernels under the hood on CPU when forced)."""
+    from drt_tpu.parallel.render import make_renderer
+
+    scene, params, cam = gallery.build_mesh(level=1, dtype=jnp.float32)
+    cfg = RenderConfig(width=64, height=32, spp=2, max_depth=3)
+    render = make_renderer(scene, cfg, cam, backend="pallas-dyn")
+    img = np.asarray(render(params, jax.random.key(0)))
+    assert img.shape == (32, 64, 3)
+    # Interpret-mode internal PRNG is stubbed to zeros on CPU, so only
+    # shape/finiteness are checked here; value tests are tape-mode.
+    assert np.isfinite(img).all()

@@ -464,3 +464,62 @@ def test_fused_image_renderer_odd_sizes():
     g = jax.grad(lambda p: render(p, seeds_from_key(
         jax.random.key(0))).sum())(params)
     assert np.isfinite(np.asarray(g.albedo)).all()
+
+
+def test_split_fused_matches_expanded_xla():
+    """bsdf_samples > 1 on the fused path (VERDICT r2 missing-#2): the
+    splitting renderer must equal the plain XLA wavefront run on the
+    SAME prefix-expanded per-lane uniforms (lane-mean identity), and
+    its custom-VJP gradients must equal jax.grad of that forward."""
+    import dataclasses
+
+    from drt_tpu.fused import (make_split_fused_image_renderer,
+                               split_prefix_tape)
+    from drt_tpu.renderer import lane_count
+
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    cfg = RenderConfig(width=8, height=8, spp=2, max_depth=3,
+                       bsdf_samples=2)
+    M = lane_count(cfg)  # 4
+    w, h, spp = cfg.width, cfg.height, cfg.spp
+    npix = w * h
+    n_lanes = npix * spp * M
+    seeds = jnp.asarray([3, 7], jnp.int32)
+
+    render = make_split_fused_image_renderer(scene, cam, cfg,
+                                             tile_rows=8, interpret=True)
+    img = render(params, seeds)
+
+    # Reference: plain (non-splitting) tracer on the M-expanded lanes.
+    cam_u, tp = split_prefix_tape(seeds, 0, cfg)
+    pix = np.arange(n_lanes) % npix
+    xy = jnp.asarray(np.stack([pix % w, pix // w], -1), jnp.int32)
+    o, d, _ = camera_rays(cam, w, h, xy, cam_u.T)
+    cfg1 = dataclasses.replace(cfg, bsdf_samples=1)
+
+    def img_ref(p):
+        L = trace_rays(p, scene, o, d, None, cfg1, tape=tp)
+        chans = [c.reshape(M * spp, h, w).mean(axis=0) for c in L]
+        return jnp.stack(chans, axis=-1)
+
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref(params)),
+                               rtol=2e-5, atol=2e-6)
+
+    g_fused = jax.grad(lambda p: render(p, seeds).sum())(params)
+    g_ref = jax.grad(lambda p: img_ref(p).sum())(params)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+    assert np.abs(np.asarray(g_ref.albedo)).max() > 1e-3
+
+    # Stored and retrace adjoints agree bit-for-bit.
+    r_re = make_split_fused_image_renderer(scene, cam, cfg, tile_rows=8,
+                                           interpret=True,
+                                           adjoint="retrace")
+    g_re = jax.grad(lambda p: r_re(p, seeds).sum())(params)
+    r_st = make_split_fused_image_renderer(scene, cam, cfg, tile_rows=8,
+                                           interpret=True,
+                                           adjoint="stored")
+    g_st = jax.grad(lambda p: r_st(p, seeds).sum())(params)
+    for a, b in zip(g_st, g_re):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

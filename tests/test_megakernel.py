@@ -100,3 +100,33 @@ def test_forward_specular_mirror_triangle_scene():
     ra = np.stack([np.nan_to_num(np.asarray(c)) for c in L_ref])
     pa = np.stack([np.nan_to_num(np.asarray(c)) for c in L_pal])
     np.testing.assert_allclose(pa, ra, rtol=5e-5, atol=1e-5)
+
+
+def test_fastmath_kernel_matches_exact_statistically():
+    """The fast-math kernel rewrites (hardware rsqrt, algebraically
+    cancelled s*cos/pdf quotients, *0.5 root halving) preserve the
+    estimator: tape-mode fastmath vs exact tracer on the glossy scene
+    (diffuse + specular + mirror), loose f32 tolerance (the production
+    internal-RNG path is only statistically pinned anyway)."""
+    from drt_tpu.models import gallery
+    from drt_tpu.ops.megakernel import make_fused_tracer
+
+    scene, params, cam = gallery.build_glossy(dtype=jnp.float32)
+    cfg = RenderConfig(width=8, height=8, spp=2, max_depth=4)
+    n = 8 * 8 * 2
+    cam_u = jax.random.uniform(jax.random.key(0), (2, n),
+                               dtype=jnp.float32)
+    tape = jax.random.uniform(jax.random.key(1), (cfg.max_depth, 3, n),
+                              dtype=jnp.float32)
+    alb = albedo_table(scene, params)
+    emi = emission_table(scene, params)
+    exact = make_fused_tracer(scene, cam, cfg, tile_rows=8, rng="tape",
+                              interpret=True, n_rays=n)
+    fast = make_fused_tracer(scene, cam, cfg, tile_rows=8, rng="tape",
+                             interpret=True, n_rays=n, fastmath=True)
+    L_e = np.stack([np.asarray(c) for c in
+                    exact(alb, emi, cam_u, tape)])
+    L_f = np.stack([np.asarray(c) for c in
+                    fast(alb, emi, cam_u, tape)])
+    assert L_e.mean() > 0
+    np.testing.assert_allclose(L_f, L_e, rtol=2e-3, atol=1e-4)

@@ -37,6 +37,38 @@ def test_tile_render_matches_monolithic():
     assert abs(img_tiles.mean() - img_mono.mean()) / img_mono.mean() < 0.15
 
 
+def test_tile_render_matches_monolithic_seed_matched():
+    """With a SHARED global uniform tape (randomness a function of the
+    global ray id, not the tiling), the tiled image equals the
+    monolithic render exactly — the strong idempotent-decomposition
+    property that makes tile re-dispatch after failures bias-free."""
+    from drt_tpu.camera import camera_rays
+    from drt_tpu.renderer import chunk_pixel_ids, trace_rays
+
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    cfg = RenderConfig(width=32, height=24, spp=4, max_depth=3)
+    n = cfg.width * cfg.height * cfg.spp
+    k = jax.random.key(3)
+    cam_u = jax.random.uniform(jax.random.fold_in(k, 0), (n, 2),
+                               dtype=jnp.float32)
+    tape = jax.random.uniform(jax.random.fold_in(k, 1),
+                              (cfg.max_depth, 3, n), dtype=jnp.float32)
+
+    # Monolithic render consuming the global streams directly.
+    xy = chunk_pixel_ids(cfg)
+    o, d, pdf = camera_rays(cam, cfg.width, cfg.height, xy, cam_u)
+    L = trace_rays(params, scene, o, d, None, cfg, tape=tape)
+    mono = np.stack(
+        [np.asarray(c / pdf).reshape(cfg.height, cfg.width, cfg.spp)
+         .mean(-1) for c in L], -1)
+
+    sched = TileScheduler(cfg.width, cfg.height, tile=16)
+    render_tile = make_tile_renderer(scene, cam, cfg, params,
+                                     cam_u=cam_u, tape=tape)
+    img_tiles = sched.run(render_tile, seed=0)
+    np.testing.assert_array_equal(img_tiles, mono.astype(np.float32))
+
+
 def test_fault_injection_recovers():
     scene, params, cam = cbox.build(dtype=jnp.float32)
     cfg = RenderConfig(width=32, height=24, spp=8, max_depth=3)

@@ -10,6 +10,7 @@
 //
 // Build:  g++ -O2 -std=c++17 -I <ref>/include golden_main.cpp -o golden
 // Usage:  golden W H SPP MIN_BOUNCES ABSORB TAPE_FILE OUT_FILE GRAD(0|1)
+//                [UNBIASED(0|1)]
 //
 // TAPE_FILE: little-endian int32 array, values in [0, RAND_MAX); consumed
 // sequentially by the rand() override below (libc's rand is preempted at
@@ -21,7 +22,9 @@
 //   4*3    gradients of sum over samples of backward(1):
 //          d/d{red, green, white, emission}        (grad mode only)
 //   1      number of tape values consumed (as double)
+//   1      render-loop wall seconds (pixel loop only, excl. IO/startup)
 
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -53,10 +56,92 @@ extern "C" int rand() {
 using namespace drt;
 using T = double;
 
+// Reimplementation of drt::Pathtracer (pathtracer.hpp:53-136) with the
+// `unbiased` flag of drt::integrate (integrate.hpp:56-66) exposed — the
+// reference hard-codes `false` at pathtracer.hpp:111 and keeps
+// raycast/scatter private, so enabling the reference's OWN unbiased
+// machinery (IntegrateBackward, integrate.hpp:11-24) requires this
+// harness-side mirror. Category-(b) parity scaffolding: the structure is
+// forced line-by-line by the semantics being tested.
+class HarnessTracer {
+public:
+    HarnessTracer(double absorb, std::size_t min_bounces, bool unbiased)
+      : m_absorb(absorb), m_min_bounces(min_bounces),
+        m_unbiased(unbiased) { }
+
+    Vector<T, 3, true> trace(const Scene<T>& scene, Vector<T, 3> orig,
+                             Vector<T, 3> dir, std::size_t depth = 0) const
+    {
+        // pathtracer.hpp:121-136
+        if (depth >= m_min_bounces && random::uniform() < m_absorb)
+            return Vector<T, 3>(0);
+        double p = depth >= m_min_bounces ? (1 - m_absorb) : 1;
+        Hit hit;
+        if (raycast(scene, orig, dir, hit))
+            return scatter(scene, hit, dir, depth) / p;
+        return Vector<T, 3>(0);
+    }
+
+private:
+    struct Hit {
+        Vector<T, 3> point;
+        Vector<T, 3> normal;
+        BxDF<T>* bxdf;
+        Emitter<T>* emitter;
+    };
+
+    bool raycast(const Scene<T>& scene, Vector<T, 3> orig,
+                 Vector<T, 3> dir, Hit& hit) const
+    {
+        // pathtracer.hpp:72-89
+        double tmin = inf;
+        for (auto shape : scene) {
+            double t;
+            if (!shape->intersect(orig, dir, t) || t >= tmin)
+                continue;
+            tmin = t;
+            hit.point = orig + t * dir;
+            hit.normal = shape->normal(hit.point);
+            hit.bxdf = shape->bxdf();
+            hit.emitter = shape->emitter();
+        }
+        return !std::isinf(tmin);
+    }
+
+    Vector<T, 3, true> scatter(const Scene<T>& scene, Hit& hit,
+                               Vector<T, 3> dir_in,
+                               std::size_t depth) const
+    {
+        // pathtracer.hpp:91-115 with the integrate unbiased flag wired.
+        Vector<T, 3, true> diffuse = integrate<T, 3>(
+            [=](const Vector<T, 3>& dir_out) {
+                Vector<T, 3> orig = hit.point + 1e-3 * dir_out;
+                Vector<T, 3, true> brdf_value = internal::eval_bxdf(
+                    hit.bxdf, hit.normal, -dir_in, dir_out);
+                Vector<T, 3, true> radiance =
+                    trace(scene, orig, dir_out, depth + 1);
+                double cos_theta = dot(hit.normal, dir_out);
+                return brdf_value * radiance * cos_theta;
+            },
+            [=]() {
+                return internal::sample_bxdf(hit.bxdf, hit.normal,
+                                             -dir_in);
+            },
+            1, m_unbiased);
+        Vector<T, 3, true> emission = internal::emission(hit.emitter);
+        return emission + diffuse;
+    }
+
+    double m_absorb;
+    std::size_t m_min_bounces;
+    bool m_unbiased;
+};
+
 int main(int argc, char** argv) {
-    if (argc != 9) {
+    if (argc != 9 && argc != 10) {
         std::fprintf(stderr,
-            "usage: %s W H SPP MIN_BOUNCES ABSORB TAPE OUT GRAD\n", argv[0]);
+            "usage: %s W H SPP MIN_BOUNCES ABSORB TAPE OUT GRAD "
+            "[UNBIASED]\n", argv[0]);
         return 1;
     }
     const std::size_t width = std::strtoul(argv[1], nullptr, 10);
@@ -67,6 +152,8 @@ int main(int argc, char** argv) {
     const char* tape_path = argv[6];
     const char* out_path = argv[7];
     const bool grad_mode = std::strtoul(argv[8], nullptr, 10) != 0;
+    const bool unbiased =
+        argc == 10 && std::strtoul(argv[9], nullptr, 10) != 0;
 
     // Load tape.
     FILE* tf = std::fopen(tape_path, "rb");
@@ -109,16 +196,21 @@ int main(int argc, char** argv) {
 
     Camera<T> cam(width, height);
     cam.look_at(Vector<T, 3>{0, 0, 0}, Vector<T, 3>{0, 0, 1});
+    // Biased mode runs the reference's own Pathtracer; unbiased mode
+    // needs the harness mirror (see HarnessTracer above).
     Pathtracer<T> tracer(absorb, min_bounces);
+    HarnessTracer utracer(absorb, min_bounces, true);
 
     std::vector<double> img(width * height * 3, 0.0);
+    auto t_start = std::chrono::steady_clock::now();
     for (std::size_t y = 0; y < height; ++y) {
         for (std::size_t x = 0; x < width; ++x) {
             Vector<T, 3> pixel(0);
             for (std::size_t i = 0; i < spp; ++i) {
                 auto [dir, pdf] = cam.sample(x, y);
-                Vector<T, 3, true> radiance =
-                    tracer.trace(scene, cam.eye(), dir);
+                Vector<T, 3, true> radiance = unbiased
+                    ? utracer.trace(scene, cam.eye(), dir)
+                    : tracer.trace(scene, cam.eye(), dir);
                 pixel += radiance.detach() / pdf;
                 if (grad_mode)
                     radiance.backward(Vector<T, 3>(1));
@@ -128,6 +220,8 @@ int main(int argc, char** argv) {
                 img[(y * width + x) * 3 + c] = pixel[c];
         }
     }
+    double render_seconds = std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t_start).count();
 
     FILE* of = std::fopen(out_path, "wb");
     if (!of) { std::perror("out"); return 2; }
@@ -142,6 +236,7 @@ int main(int argc, char** argv) {
     }
     double consumed = double(g_pos);
     std::fwrite(&consumed, sizeof(double), 1, of);
+    std::fwrite(&render_seconds, sizeof(double), 1, of);
     std::fclose(of);
     return 0;
 }

@@ -1,0 +1,209 @@
+"""MEASURED roofline: jax.profiler trace of the headline bench on-chip.
+
+Round-2's roofline (tools/roofline.py) weighted a jaxpr with a hand cost
+model and ESTIMATED ~46% of VPU issue peak; whether the remaining gap
+was scheduling stalls, model error, or real headroom was unknown
+(VERDICT r2 weak-#2). This tool measures it:
+
+  1. runs the production fused forward (and fwd+bwd) at the headline
+     config under `jax.profiler.trace`,
+  2. parses the trace protobuf's trace.json.gz into per-track busy time,
+  3. reports device-busy vs wall time per step (dispatch/host gap),
+     measured issue utilization = model_ops * rays / (device_time *
+     VPU peak), and USEFUL-lane utilization = issue utilization x the
+     measured live-lane fraction (dead RR/miss lanes compute masked
+     garbage, which the issue number counts as work),
+  4. writes the summary JSON next to this file (the committed artifact;
+     the raw trace is deleted).
+
+Usage: python tools/trace_roofline.py [--depth 5] [--reps 6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import pathlib
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from roofline import COST, IGNORE, V5E_VPU_PEAK, count_jaxpr  # noqa: E402,F401
+
+
+def _parse_trace(trace_dir: str):
+    """Chrome-trace events -> {(process, thread): busy_us}, plus the top
+    event names per device track."""
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        raise RuntimeError(f"no trace.json.gz under {trace_dir}")
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    pid_names, tid_names = {}, {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"]["name"]
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"]["name"]
+    busy: dict[tuple, float] = {}
+    by_name: dict[tuple, dict] = {}
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        key = (pid_names.get(e["pid"], str(e["pid"])),
+               tid_names.get((e["pid"], e.get("tid")), str(e.get("tid"))))
+        dur = float(e.get("dur", 0.0))
+        busy[key] = busy.get(key, 0.0) + dur
+        d = by_name.setdefault(key, {})
+        d[e["name"]] = d.get(e["name"], 0.0) + dur
+    return busy, by_name
+
+
+def _model_ops_per_ray(depth: int) -> float:
+    """Weighted VPU ops/ray of the forward kernel body (the round-2
+    op-count model, reused verbatim from roofline.py)."""
+    from drt_tpu.config import RenderConfig
+    from drt_tpu.models import cbox
+    from drt_tpu.ops import megakernel as mk
+    from drt_tpu.scene import albedo_table, emission_table
+
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    cfg = RenderConfig(width=640, height=480, spp=16, max_depth=depth)
+    ss = mk.StaticScene(scene)
+    sc = mk.StaticCamera(cam, cfg.width, cfg.height)
+    tile_rows = 32
+    shape = (tile_rows, mk.LANES)
+    alb = albedo_table(scene, params)
+    emi = emission_table(scene, params)
+
+    def fwd_body(alb, emi, cu0, cu1, u):
+        o, d = mk._camera_rays_static(sc, cfg.spp, tile_rows, 0, cu0,
+                                      cu1, np.float32)
+        return mk._wavefront_body(
+            ss, cfg, alb, emi, o, d,
+            lambda lb: (u[lb, 0], u[lb, 1], u[lb, 2]), np.float32)
+
+    f = jnp.zeros(shape, jnp.float32)
+    u = jnp.zeros((depth, 3) + shape, jnp.float32)
+    jaxpr = jax.make_jaxpr(fwd_body)(alb, emi, f, f, u)
+    counts: dict[str, int] = {}
+    count_jaxpr(jaxpr.jaxpr, counts)
+    total = sum(c * COST.get(name, 1.0) for name, c in counts.items())
+    return total / (tile_rows * mk.LANES)
+
+
+def _live_fraction(depth: int, min_bounces: int, absorb: float) -> float:
+    """Measured mean live-lane fraction over bounces: render a ray
+    sample through the XLA wavefront with collect=True and average the
+    per-bounce liveness gates (gate > 0 <=> lane did useful work)."""
+    from drt_tpu.camera import camera_rays, pixel_grid
+    from drt_tpu.config import RenderConfig
+    from drt_tpu.models import cbox
+    from drt_tpu.renderer import trace_rays
+
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    cfg = RenderConfig(width=64, height=48, spp=8, max_depth=depth,
+                       min_bounces=min_bounces, absorb_prob=absorb)
+    xy = jnp.repeat(pixel_grid(64, 48), 8, axis=0)
+    cu = jax.random.uniform(jax.random.key(5), (xy.shape[0], 2),
+                            dtype=jnp.float32)
+    o, d, _ = camera_rays(cam, 64, 48, xy, cu)
+    _, res = trace_rays(params, scene, o, d, jax.random.key(0), cfg,
+                        collect=True)
+    return float((np.asarray(res.gate) > 0).mean())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--depth", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--spp", type=int, default=256)
+    args = ap.parse_args()
+
+    from drt_tpu.config import RenderConfig
+    from drt_tpu.fused import make_fused_image_renderer, seeds_from_key
+    from drt_tpu.models import cbox
+
+    assert jax.default_backend() == "tpu", "run on the real chip"
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    cfg = RenderConfig(width=640, height=480, spp=args.spp,
+                       min_bounces=1, absorb_prob=0.5,
+                       max_depth=args.depth, spp_chunks=16)
+    n_rays = cfg.width * cfg.height * cfg.spp
+    render = make_fused_image_renderer(scene, cam, cfg)
+    seeds = seeds_from_key(jax.random.key(0))
+
+    @jax.jit
+    def fwd(p, s):
+        return render(p, s)
+
+    @jax.jit
+    def fwdbwd(p, s):
+        return jax.value_and_grad(lambda pp: render(pp, s).sum())(p)
+
+    jax.block_until_ready(fwd(params, seeds))       # compile
+    jax.block_until_ready(fwdbwd(params, seeds))
+
+    summary = {"config": {"depth": args.depth, "spp": args.spp,
+                          "rays": n_rays, "reps": args.reps}}
+    for tag, fn in (("fwd", fwd), ("fwdbwd", fwdbwd)):
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            with jax.profiler.trace(td):
+                for _ in range(args.reps):
+                    jax.block_until_ready(fn(params, seeds))
+            wall = time.perf_counter() - t0
+            busy, by_name = _parse_trace(td)
+        # Device-compute track: the busiest thread of a TPU process
+        # (XLA Ops / TensorFlow Op track), excluding step/host threads.
+        dev = {k: v for k, v in busy.items()
+               if "TPU" in k[0] and "Steps" not in k[1]}
+        dev_key = max(dev, key=dev.get)
+        dev_us = dev[dev_key]
+        top = sorted(by_name[dev_key].items(), key=lambda kv: -kv[1])[:8]
+        summary[tag] = {
+            "wall_s_per_step": wall / args.reps,
+            "device_busy_s_per_step": dev_us / 1e6 / args.reps,
+            "device_track": list(dev_key),
+            "device_busy_frac_of_wall": dev_us / 1e6 / wall,
+            "top_kernels_us_per_step": {k: round(v / args.reps, 1)
+                                        for k, v in top},
+            "all_tracks_us_per_step": {f"{p} | {t}": round(v / args.reps)
+                                       for (p, t), v in sorted(
+                                           busy.items(),
+                                           key=lambda kv: -kv[1])[:10]},
+        }
+
+    ops_per_ray = _model_ops_per_ray(args.depth)
+    live = _live_fraction(args.depth, 1, 0.5)
+    dev_s = summary["fwd"]["device_busy_s_per_step"]
+    issue_util = ops_per_ray * n_rays / (dev_s * V5E_VPU_PEAK)
+    summary["roofline"] = {
+        "model_ops_per_ray": round(ops_per_ray, 1),
+        "vpu_peak_tops": V5E_VPU_PEAK / 1e12,
+        "fwd_mrays_s_wall": round(
+            n_rays / summary["fwd"]["wall_s_per_step"] / 1e6, 1),
+        "fwd_mrays_s_device": round(n_rays / dev_s / 1e6, 1),
+        "issue_utilization_device_time": round(issue_util, 3),
+        "mean_live_lane_fraction": round(live, 3),
+        "useful_lane_utilization": round(issue_util * live, 3),
+    }
+    out_path = pathlib.Path(__file__).parent / "trace_summary.json"
+    out_path.write_text(json.dumps(summary, indent=1))
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()
