@@ -11,7 +11,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import numpy as np
 
