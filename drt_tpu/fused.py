@@ -465,7 +465,8 @@ def make_dyn_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
                             interpret: bool | None = None,
                             rng: str = "internal",
                             adjoint: str = "auto",
-                            unroll_shapes: int = 16):
+                            unroll_shapes: int = 16,
+                            fastmath: bool | str = "auto"):
     """Memory-resident-scene production path: `render(params, seeds) ->
     image`, differentiable in params, over the dyn megakernels
     (drt_tpu/ops/dynkernel.py — scene arrays read from SMEM at run
@@ -483,7 +484,8 @@ def make_dyn_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
     ds = DynScene.of(scene)
     scn = ds.operands
     kw = dict(tile_rows=tile_rows, rng=rng, interpret=interpret,
-              unroll_shapes=unroll_shapes)
+              unroll_shapes=unroll_shapes,
+              fastmath=_resolve_fastmath(fastmath, rng))
     tracer0 = make_dyn_tracer(ds, cam, cfg, **kw)
 
     def trace_fn(alb, emi, *streams):
@@ -517,7 +519,8 @@ def make_sharded_dyn_image_renderer(scene: Scene, cam: Camera,
                                     interpret: bool | None = None,
                                     rng: str = "internal",
                                     adjoint: str = "auto",
-                                    unroll_shapes: int = 16):
+                                    unroll_shapes: int = 16,
+                                    fastmath: bool | str = "auto"):
     """Sharded memory-resident-scene path: the dyn megakernels run
     per-device under `shard_map` (scene operands replicated, rays
     sharded by global `tile_base`, parameter-grad partials psum'd) —
@@ -549,7 +552,8 @@ def make_sharded_dyn_image_renderer(scene: Scene, cam: Camera,
     ds = DynScene.of(scene)
     scn = ds.operands
     kw = dict(tile_rows=tile_rows, rng=rng, interpret=interpret,
-              n_rays=local_n, unroll_shapes=unroll_shapes)
+              n_rays=local_n, unroll_shapes=unroll_shapes,
+              fastmath=_resolve_fastmath(fastmath, rng))
     tracer = make_dyn_tracer(ds, cam, cfg, **kw)
     collect = sweep = adj = None
     if adjoint == "stored":

@@ -57,9 +57,9 @@ from jax.experimental.pallas import tpu as pltpu
 from drt_tpu.config import RenderConfig
 from drt_tpu.constants import PI, RAY_EPS
 from drt_tpu.ops.megakernel import (LANES, StaticCamera, _accumulate_grad_smem,
-                                    _camera_rays_static, _pad_rows,
-                                    _seg_spec_helpers, _to_tiles,
-                                    _uniform_from_bits)
+                                    _camera_rays_static, _inv_sqrt,
+                                    _pad_rows, _seg_spec_helpers,
+                                    _to_tiles, _uniform_from_bits)
 from drt_tpu.ops.vecmath import V3
 from drt_tpu.scene import (DIFFUSE, MIRROR, NULL_BXDF, PLANE, SPECULAR,
                            SPHERE, TRIANGLE, Scene)
@@ -156,7 +156,7 @@ def _loop(lo: int, hi: int, body, carry, max_unroll: int):
 
 
 def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
-                   max_unroll: int):
+                   max_unroll: int, fastmath: bool = False):
     """Nearest-hit over the memory-resident shape arrays.
 
     Returns (best_t, hit, aux V3, mtype, arow, erow, expo, stype) per
@@ -216,8 +216,12 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
         cc = (ocx * ocx + ocy * ocy + ocz * ocz) - r * r
         disc = b * b - 4.0 * cc
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = (-b - sq) / 2.0
-        t2 = (-b + sq) / 2.0
+        if fastmath:
+            t1 = (-b - sq) * 0.5
+            t2 = (-b + sq) * 0.5
+        else:
+            t1 = (-b - sq) / 2.0
+            t2 = (-b + sq) / 2.0
         t = jnp.where(t1 > 0, t1, t2)
         return update(carry, i, t, (disc >= 0) & (t > 0), c0, c1, c2,
                       SPHERE)
@@ -287,7 +291,8 @@ def _pow_cpp_vec(base, expo, dtype):
     return jnp.where(neg & ~is_int, dtype(np.nan), mag * sign)
 
 
-def _dyn_shade(ds: DynScene, mt, ex, normal: V3, d_in: V3, u1, u2, dtype):
+def _dyn_shade(ds: DynScene, mt, ex, normal: V3, d_in: V3, u1, u2, dtype,
+               fastmath: bool = False):
     """Branch-free BxDF sample + scalar eval with RUNTIME material
     dispatch by per-ray type code and vector exponent. Identical math
     to megakernel._shade (which cites bxdf.hpp:29-41, :56-124,
@@ -304,12 +309,12 @@ def _dyn_shade(ds: DynScene, mt, ex, normal: V3, d_in: V3, u1, u2, dtype):
         tvy = jnp.where(use_e1, -normal.y * normal.x,
                         1.0 - normal.y * normal.y)
         tvz = jnp.where(use_e1, -normal.z * normal.x, -normal.z * normal.y)
-        tinv = 1.0 / jnp.sqrt(tvx * tvx + tvy * tvy + tvz * tvz)
+        tinv = _inv_sqrt(tvx * tvx + tvy * tvy + tvz * tvz, fastmath)
         tx, ty, tz = tvx * tinv, tvy * tinv, tvz * tinv
         bx = normal.y * tz - normal.z * ty
         by = normal.z * tx - normal.x * tz
         bz = normal.x * ty - normal.y * tx
-        binv = 1.0 / jnp.sqrt(bx * bx + by * by + bz * bz)
+        binv = _inv_sqrt(bx * bx + by * by + bz * bz, fastmath)
         bx, by, bz = bx * binv, by * binv, bz * binv
         cos_phi = jnp.cos(2.0 * PI * u2)
         sin_phi = jnp.sin(2.0 * PI * u2)
@@ -336,9 +341,15 @@ def _dyn_shade(ds: DynScene, mt, ex, normal: V3, d_in: V3, u1, u2, dtype):
         cos_t = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
         sin_t = jnp.sqrt(u1)
         dd = frame_dir(cos_t, sin_t)
-        pdf = cos_t / PI
         cos_geom = dot3(normal, dd)
-        sc_d = jnp.where(pdf > 0, (1.0 / PI) * cos_geom / pdf, dtype(0.0))
+        if fastmath:
+            sc_d = jnp.where(u1 < 1.0,
+                             cos_geom * jax.lax.rsqrt(1.0 - u1),
+                             dtype(0.0))
+        else:
+            pdf = cos_t / PI
+            sc_d = jnp.where(pdf > 0, (1.0 / PI) * cos_geom / pdf,
+                             dtype(0.0))
         m = mt == DIFFUSE
         dir_out = V3(jnp.where(m, dd.x, dir_out.x),
                      jnp.where(m, dd.y, dir_out.y),
@@ -359,15 +370,21 @@ def _dyn_shade(ds: DynScene, mt, ex, normal: V3, d_in: V3, u1, u2, dtype):
                * jnp.power(cos_h, e + 1.0) * sin_h)
         hwx, hwy, hwz = d_in.x + dd.x, d_in.y + dd.y, d_in.z + dd.z
         hw2 = hwx * hwx + hwy * hwy + hwz * hwz
-        hinv = 1.0 / jnp.sqrt(hw2)
+        hinv = _inv_sqrt(hw2, fastmath)
         hwx, hwy, hwz = hwx * hinv, hwy * hinv, hwz * hinv
         cos_he = normal.x * hwx + normal.y * hwy + normal.z * hwz
         sin_he = jnp.sqrt(jnp.maximum(1.0 - cos_he * cos_he, 0.0))
         powv = _pow_cpp_vec(cos_he, e, dtype)
-        s_val = (e + 2.0) / (2.0 * PI) * powv * sin_he
-        s_val = jnp.where(hw2 > 0, s_val, dtype(0.0))
         cos_geom = dot3(normal, dd)
-        sc_s = jnp.where(pdf > 0, s_val * cos_geom / pdf, dtype(0.0))
+        if fastmath:
+            denom = jnp.power(cos_h, e + 1.0) * sin_h
+            sc_s = jnp.where((denom > 0) & (hw2 > 0),
+                             powv * sin_he * cos_geom / denom,
+                             dtype(0.0))
+        else:
+            s_val = (e + 2.0) / (2.0 * PI) * powv * sin_he
+            s_val = jnp.where(hw2 > 0, s_val, dtype(0.0))
+            sc_s = jnp.where(pdf > 0, s_val * cos_geom / pdf, dtype(0.0))
         m = mt == SPECULAR
         dir_out = V3(jnp.where(m, dd.x, dir_out.x),
                      jnp.where(m, dd.y, dir_out.y),
@@ -377,8 +394,11 @@ def _dyn_shade(ds: DynScene, mt, ex, normal: V3, d_in: V3, u1, u2, dtype):
     if have_m:
         dd = reflect(d_in, normal)
         cos_geom = dot3(normal, dd)
-        sc_m = jnp.where(cos_geom != 0, (1.0 / cos_geom) * cos_geom,
-                         dtype(0.0))
+        if fastmath:
+            sc_m = jnp.where(cos_geom != 0, dtype(1.0), dtype(0.0))
+        else:
+            sc_m = jnp.where(cos_geom != 0, (1.0 / cos_geom) * cos_geom,
+                             dtype(0.0))
         m = mt == MIRROR
         dir_out = V3(jnp.where(m, dd.x, dir_out.x),
                      jnp.where(m, dd.y, dir_out.y),
@@ -390,7 +410,8 @@ def _dyn_shade(ds: DynScene, mt, ex, normal: V3, d_in: V3, u1, u2, dtype):
 
 def _dyn_wavefront_body(ds: DynScene, cfg: RenderConfig, scn_refs,
                         alb_ref, emis_ref, o: V3, d: V3, get_u, dtype,
-                        max_unroll: int, on_residual=None):
+                        max_unroll: int, on_residual=None,
+                        fastmath: bool = False):
     """Full-depth bounce loop on one VMEM-resident ray tile over the
     memory-resident scene (structure mirrors megakernel._wavefront_body,
     which cites pathtracer.hpp). on_residual(lb, P, sc, gate, ar, er,
@@ -412,7 +433,7 @@ def _dyn_wavefront_body(ds: DynScene, cfg: RenderConfig, scn_refs,
             rr_scale = dtype(1.0)
 
         best_t, hit, aux, mt, ar, er, ex, st = _dyn_intersect(
-            ds, scn_refs, o, d, dtype, max_unroll)
+            ds, scn_refs, o, d, dtype, max_unroll, fastmath=fastmath)
         alive = alive & hit
         gate = jnp.where(alive, rr_scale, dtype(0.0))
         # Sanitize the winner attributes on dead lanes: sentinel rows
@@ -439,7 +460,7 @@ def _dyn_wavefront_body(ds: DynScene, cfg: RenderConfig, scn_refs,
         # straight from aux; sphere = normalize(p - center)
         # (shape.hpp:58-59, :105-106 via ops/intersect.py).
         sx, sy, sz = p.x - aux.x, p.y - aux.y, p.z - aux.z
-        sinv = 1.0 / jnp.sqrt(sx * sx + sy * sy + sz * sz)
+        sinv = _inv_sqrt(sx * sx + sy * sy + sz * sz, fastmath)
         is_sph = st == SPHERE
         normal = V3(jnp.where(is_sph, sx * sinv, aux.x),
                     jnp.where(is_sph, sy * sinv, aux.y),
@@ -447,7 +468,7 @@ def _dyn_wavefront_body(ds: DynScene, cfg: RenderConfig, scn_refs,
 
         d_in = V3(-d.x, -d.y, -d.z)
         dir_out, sc_raw = _dyn_shade(ds, mt, ex, normal, d_in, u1, u2,
-                                     dtype)
+                                     dtype, fastmath=fastmath)
         sc = jnp.where(alive, sc_raw, dtype(0.0))
 
         if on_residual is not None:
@@ -550,7 +571,8 @@ def _prep_stream_specs(rng, entry_args, smem, tile_rows, D, rows,
 
 def make_dyn_tracer(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
                     rng: str = "internal", interpret: bool | None = None,
-                    n_rays: int | None = None, unroll_shapes: int = 16):
+                    n_rays: int | None = None, unroll_shapes: int = 16,
+                    fastmath: bool = False):
     """Fully-fused forward tracer over a memory-resident scene: camera
     ray generation, uniform sampling and the whole wavefront loop in one
     kernel, with the scene read from SMEM arrays at run time.
@@ -603,9 +625,10 @@ def make_dyn_tracer(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
 
         base_idx = gi * (tile_rows * LANES)
         o, d = _camera_rays_static(sc, spp_c, tile_rows, base_idx,
-                                   u_s, u_t, dtype)
+                                   u_s, u_t, dtype, fastmath=fastmath)
         L = _dyn_wavefront_body(ds, cfg, scn_refs, alb_ref, emis_ref,
-                                o, d, get_u, dtype, unroll_shapes)
+                                o, d, get_u, dtype, unroll_shapes,
+                                fastmath=fastmath)
         lx[...] = L.x
         ly[...] = L.y
         lz[...] = L.z
@@ -635,7 +658,8 @@ def make_dyn_collect_tracer(scene, cam, cfg: RenderConfig,
                             tile_rows: int = 32, rng: str = "internal",
                             interpret: bool | None = None,
                             n_rays: int | None = None,
-                            unroll_shapes: int = 16):
+                            unroll_shapes: int = 16,
+                            fastmath: bool = False):
     """Forward tracer that ALSO writes per-bounce adjoint residuals to
     HBM: (sc f32, rrow i32) at 8 B/bounce-ray, where rrow packs
     (albedo row | emission row << 8 | live << 16). The dyn counterpart
@@ -690,7 +714,7 @@ def make_dyn_collect_tracer(scene, cam, cfg: RenderConfig,
 
         base_idx = gi * (tile_rows * LANES)
         o, d = _camera_rays_static(sc, spp_c, tile_rows, base_idx,
-                                   u_s, u_t, dtype)
+                                   u_s, u_t, dtype, fastmath=fastmath)
 
         def on_residual(lb, P, sc_b, gate, ar, er, alive):
             rsc_ref[lb] = sc_b
@@ -699,7 +723,8 @@ def make_dyn_collect_tracer(scene, cam, cfg: RenderConfig,
 
         L = _dyn_wavefront_body(ds, cfg, scn_refs, alb_ref, emis_ref,
                                 o, d, get_u, dtype, unroll_shapes,
-                                on_residual=on_residual)
+                                on_residual=on_residual,
+                                fastmath=fastmath)
         lx[...] = L.x
         ly[...] = L.y
         lz[...] = L.z
@@ -821,7 +846,8 @@ def make_dyn_sweep_adjoint(scene, cfg: RenderConfig, tile_rows: int = 32,
 
 def make_dyn_adjoint(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
                      rng: str = "internal", interpret: bool | None = None,
-                     n_rays: int | None = None, unroll_shapes: int = 16):
+                     n_rays: int | None = None, unroll_shapes: int = 16,
+                     fastmath: bool = False):
     """Retrace adjoint over a memory-resident scene: regenerate rays and
     uniforms in-kernel, retrace collecting residuals in VMEM scratch,
     reverse-sweep, accumulate parameter-grad partials in SMEM (radiative
@@ -877,7 +903,7 @@ def make_dyn_adjoint(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
 
         base_idx = gi * (tile_rows * LANES)
         o, d = _camera_rays_static(sc, spp_c, tile_rows, base_idx,
-                                   u_s, u_t, dtype)
+                                   u_s, u_t, dtype, fastmath=fastmath)
 
         def on_residual(lb, P, sc_b, gate, ar, er, alive):
             rPx[lb] = P.x
@@ -890,7 +916,7 @@ def make_dyn_adjoint(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
 
         _dyn_wavefront_body(ds, cfg, scn_refs, alb_ref, emis_ref, o, d,
                             get_u, dtype, unroll_shapes,
-                            on_residual=on_residual)
+                            on_residual=on_residual, fastmath=fastmath)
         g = V3(gx[...], gy[...], gz[...])
         _, da_acc, de_acc = _dyn_reverse_sweep(
             ds, alb_ref, emis_ref, g, scratch, D, g.x.shape, dtype)

@@ -324,37 +324,44 @@ def test_tape_driven_unbiased_identity():
 
 
 def test_tape_driven_unbiased_expectation():
-    """Averaged over many independent backward tapes, the tape-driven
-    unbiased gradient matches the biased (replayed) gradient within
-    standard-error bounds — the estimator is unbiased for the same
-    quantity."""
+    """The tape-driven unbiased backward retraces a FULLY fresh path
+    from the second tape, so its expectation over backward tapes equals
+    the expectation of the replay gradient over FORWARD tapes (both are
+    i.i.d. draws of the same radiative-backprop estimator of dL/dp) —
+    NOT the replay gradient at one fixed forward tape, whose own sample
+    noise would read as a systematic offset. Compare ensemble means
+    with a combined standard-error band."""
     import dataclasses
     scene, params, cfg0, o, d, tape = _setup(width=6, height=4, spp=2,
                                              max_depth=6)
     cfg = dataclasses.replace(cfg0, unbiased=True)
     diff_u = make_diff_renderer(scene, cfg, use_tape=True, bwd_tape=True)
     diff_b = make_diff_renderer(scene, cfg0, use_tape=True)
-    g_b = jax.grad(lambda p: vsum(diff_b(p, o, d, tape)))(params)
 
-    n_trials = 24
-    key = jax.random.key(123)
-    samples = []
-    grad_fn = jax.jit(jax.grad(
-        lambda p, tb: vsum(diff_u(p, o, d, tape, tb))))
-    for i in range(n_trials):
-        tb = jax.random.uniform(jax.random.fold_in(key, i), tape.shape,
-                                dtype=tape.dtype)
-        g = grad_fn(params, tb)
-        samples.append(np.concatenate([np.asarray(g.albedo).ravel(),
-                                       np.asarray(g.emission).ravel()]))
-    samples = np.stack(samples)
-    target = np.concatenate([np.asarray(g_b.albedo).ravel(),
-                             np.asarray(g_b.emission).ravel()])
-    mean = samples.mean(axis=0)
-    se = samples.std(axis=0, ddof=1) / np.sqrt(n_trials)
-    # 5-sigma band; also require the bound to be informative (catches a
-    # 50% systematic error on the dominant entries).
-    scale = np.abs(target).max()
-    np.testing.assert_array_less(np.abs(mean - target),
+    n_trials = 256
+    k_u, k_b = jax.random.split(jax.random.key(123))
+    tapes_u = jax.random.uniform(k_u, (n_trials,) + tape.shape,
+                                 dtype=tape.dtype)
+    tapes_b = jax.random.uniform(k_b, (n_trials,) + tape.shape,
+                                 dtype=tape.dtype)
+
+    def flat(g):
+        return jnp.concatenate([g.albedo.ravel(), g.emission.ravel()])
+
+    g_u = jax.jit(jax.vmap(lambda tb: flat(jax.grad(
+        lambda p: vsum(diff_u(p, o, d, tape, tb)))(params))))(tapes_u)
+    g_r = jax.jit(jax.vmap(lambda tf: flat(jax.grad(
+        lambda p: vsum(diff_b(p, o, d, tf)))(params))))(tapes_b)
+    g_u, g_r = np.asarray(g_u), np.asarray(g_r)
+
+    mean_u, mean_r = g_u.mean(axis=0), g_r.mean(axis=0)
+    se = np.sqrt(g_u.var(axis=0, ddof=1) / n_trials
+                 + g_r.var(axis=0, ddof=1) / n_trials)
+    scale = np.abs(mean_r).max()
+    # 5-sigma band; also require the band to be informative on the
+    # DOMINANT gradient entry (a 100% systematic error there must be
+    # detectable — small noisy entries may legitimately have wide
+    # relative bands).
+    np.testing.assert_array_less(np.abs(mean_u - mean_r),
                                  5.0 * se + 1e-12 * scale)
-    assert (5.0 * se).max() < 0.5 * scale
+    assert 5.0 * se[np.argmax(np.abs(mean_r))] < scale

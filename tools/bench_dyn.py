@@ -71,9 +71,13 @@ def main():
             return jax.value_and_grad(lambda pp: render(pp, s).sum())(p)
 
         t_f = time_best(fwd, params, seeds)
-        t_fb = time_best(fwdbwd, params, seeds)
         out[f"{tag}_fwd_mrays_s"] = round(n_rays / t_f / 1e6, 1)
+        print(f"# {tag}_fwd_mrays_s = {out[f'{tag}_fwd_mrays_s']}",
+              flush=True)
+        t_fb = time_best(fwdbwd, params, seeds)
         out[f"{tag}_fwdbwd_mrays_s"] = round(n_rays / t_fb / 1e6, 1)
+        print(f"# {tag}_fwdbwd_mrays_s = {out[f'{tag}_fwdbwd_mrays_s']}",
+              flush=True)
         img = np.asarray(fwd(params, seeds))
         out[f"{tag}_finite"] = bool(np.isfinite(img).all())
         out[f"{tag}_mean"] = round(float(img.mean()), 5)
@@ -99,6 +103,7 @@ def main():
     img_dyn = measure(dyn_m, params_m, "mesh_dyn")
     out["mesh_dyn_build_compile_s"] = round(time.perf_counter() - t0, 1)
 
+    print("# partial:", json.dumps(out), flush=True)
     if not args.skip_xla:
         diff_xla = make_diff_image_renderer(scene_m, cam_m, cfg)
 
@@ -111,15 +116,22 @@ def main():
         def fwd_xla(p, key):
             return diff_xla(p, jax.random.key_data(key))
 
-        t_f = time_best(fwd_xla, params_m, jax.random.key(0), reps=2)
-        t_fb = time_best(fwdbwd_xla, params_m, jax.random.key(0), reps=2)
-        out["mesh_xla_fwd_mrays_s"] = round(n_rays / t_f / 1e6, 2)
-        out["mesh_xla_fwdbwd_mrays_s"] = round(n_rays / t_fb / 1e6, 2)
-        img_xla = np.asarray(fwd_xla(params_m, jax.random.key(0)))
-        # Statistical consistency (different streams, same estimator).
-        out["mesh_dyn_vs_xla_mean_rel"] = round(
-            float(abs(img_dyn.mean() - img_xla.mean()) / img_xla.mean()),
-            4)
+        try:
+            t_f = time_best(fwd_xla, params_m, jax.random.key(0), reps=2)
+            out["mesh_xla_fwd_mrays_s"] = round(n_rays / t_f / 1e6, 2)
+            print(f"# mesh_xla_fwd_mrays_s = "
+                  f"{out['mesh_xla_fwd_mrays_s']}", flush=True)
+            img_xla = np.asarray(fwd_xla(params_m, jax.random.key(0)))
+            # Statistical consistency (different streams, same
+            # estimator).
+            out["mesh_dyn_vs_xla_mean_rel"] = round(
+                float(abs(img_dyn.mean() - img_xla.mean())
+                      / img_xla.mean()), 4)
+            t_fb = time_best(fwdbwd_xla, params_m, jax.random.key(0),
+                             reps=2)
+            out["mesh_xla_fwdbwd_mrays_s"] = round(n_rays / t_fb / 1e6, 2)
+        except Exception as e:  # keep earlier measurements
+            out["mesh_xla_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps(out, indent=1))
 
