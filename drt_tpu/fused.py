@@ -482,6 +482,7 @@ def make_dyn_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
     _check_fused_cfg(cfg)
     adjoint = _resolve_adjoint(cfg, adjoint, tile_rows=tile_rows)
     ds = DynScene.of(scene)
+    scene = ds.scene  # accept a prebuilt DynScene (custom cluster_k)
     scn = ds.operands
     kw = dict(tile_rows=tile_rows, rng=rng, interpret=interpret,
               unroll_shapes=unroll_shapes,
@@ -550,6 +551,7 @@ def make_sharded_dyn_image_renderer(scene: Scene, cam: Camera,
     adjoint = _resolve_adjoint(cfg, adjoint, n_devices=n_dev,
                                tile_rows=tile_rows)
     ds = DynScene.of(scene)
+    scene = ds.scene  # accept a prebuilt DynScene (custom cluster_k)
     scn = ds.operands
     kw = dict(tile_rows=tile_rows, rng=rng, interpret=interpret,
               n_rays=local_n, unroll_shapes=unroll_shapes,

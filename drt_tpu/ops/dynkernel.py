@@ -77,12 +77,27 @@ class DynScene:
 
     Static (compile-time) facts: shape counts per type, table sizes,
     material classes present. Traced (runtime) data: `operands`, the
-    tuple of 7 arrays the kernels read from SMEM. Editing operand VALUES
+    tuple of 8 arrays the kernels read from SMEM. Editing operand VALUES
     (geometry positions, exponents, material rows) re-runs the same
     compiled kernel; only topology changes (counts) rebuild.
+
+    Triangle clustering (the TPU acceleration structure): when the mesh
+    has more than `cluster_min_tris` triangles, they are host-sorted
+    into spatial clusters of `cluster_k` (median split on the longest
+    centroid axis — a flattened BVH leaf list), each with a conservative
+    AABB. The kernel slab-tests each cluster AABB against the whole ray
+    tile and SKIPS the cluster's triangle tests when no lane's ray
+    enters the box short of its current best hit — whole-tile culling
+    is the SIMD-lockstep replacement for the reference's per-ray BVH
+    descent (which per-lane stacks would serialize on the VPU).
+    Nearest-hit results are BIT-IDENTICAL with clustering on or off:
+    the (t, original-index) lexicographic winner is visit-order
+    independent and padding triangles are degenerate (det == 0).
     """
 
-    def __init__(self, scene: Scene):
+    def __init__(self, scene: Scene, cluster_k: int = 16,
+                 cluster_min_tris: int = 32):
+        self.scene = scene  # the original Scene (material tables etc.)
         stype = np.asarray(scene.shape_type)
         geo = np.asarray(scene.shape_geo, np.float32)
         if np.asarray(scene.shape_geo).dtype != np.float32:
@@ -134,15 +149,85 @@ class DynScene:
         self.have_specular = bool((mtype == SPECULAR).any())
         self.have_mirror = bool((mtype == MIRROR).any())
 
+        # Triangle clustering: leaf-contiguous visit order with
+        # degenerate padding to a static cluster_k per cluster, plus
+        # per-cluster conservative AABBs (the 8th SMEM operand).
+        self.n_clusters = 0
+        self.cluster_k = cluster_k
+        caabb = np.zeros((1, 6), np.float32)
+        t0 = self.n_plane + self.n_sphere
+        if self.n_tri > cluster_min_tris:
+            slots, caabb = _cluster_tris(geo_s[t0:], cluster_k)
+            self.n_clusters = caabb.shape[0]
+
+            def reseg(a, fill):
+                seg = a[t0:][np.maximum(slots, 0)].copy()
+                seg[slots < 0] = fill
+                return np.concatenate([a[:t0], seg])
+
+            geo_s = reseg(geo_s, 0.0)
+            aux = reseg(aux, 0.0)
+            orig = reseg(orig, S)
+            mtype = reseg(mtype, NULL_BXDF)
+            arow = reseg(arow, 0)
+            erow = reseg(erow, 0)
+            expo = reseg(expo, 0.0)
+        self.n_tri_pad = geo_s.shape[0] - t0 if self.n_clusters \
+            else self.n_tri
+
         self.operands = (
             jnp.asarray(geo_s), jnp.asarray(aux), jnp.asarray(orig),
             jnp.asarray(mtype), jnp.asarray(arow), jnp.asarray(erow),
-            jnp.asarray(expo),
+            jnp.asarray(expo), jnp.asarray(caabb),
         )
 
     @staticmethod
     def of(scene) -> "DynScene":
+        """Pass-through for prebuilt DynScenes — callers wanting custom
+        cluster_k build `DynScene(scene, cluster_k=...)` and hand that
+        to the factories."""
         return scene if isinstance(scene, DynScene) else DynScene(scene)
+
+
+def _cluster_tris(tri_geo: np.ndarray, K: int):
+    """Median-split triangle clustering (a flattened BVH leaf list).
+
+    Recursively splits on the longest centroid axis, biasing the split
+    point to a multiple of K so most leaves are full. Returns
+    `(slots, aabbs)`: `slots` i64[C*K] maps each visit slot to a
+    triangle index within the segment (-1 = degenerate padding), and
+    `aabbs` f32[C, 6] are per-cluster (lo xyz, hi xyz) boxes expanded
+    by a relative epsilon so f32 slab rounding in the kernel can never
+    cull a true hit."""
+    v = np.asarray(tri_geo[:, :9], np.float64).reshape(-1, 3, 3)
+    lo = v.min(1)
+    hi = v.max(1)
+    cent = (lo + hi) * 0.5
+    leaves: list[np.ndarray] = []
+
+    def split(idx):
+        if idx.size <= K:
+            leaves.append(idx)
+            return
+        ext = cent[idx].max(0) - cent[idx].min(0)
+        ax = int(np.argmax(ext))
+        order = idx[np.argsort(cent[idx, ax], kind="stable")]
+        mid = K * int(round(idx.size / 2 / K))
+        mid = min(max(mid, K), ((idx.size - 1) // K) * K)
+        split(order[:mid])
+        split(order[mid:])
+
+    split(np.arange(v.shape[0]))
+    slots = np.full((len(leaves), K), -1, np.int64)
+    aabbs = np.empty((len(leaves), 6), np.float32)
+    for c, idx in enumerate(leaves):
+        slots[c, :idx.size] = idx
+        l = lo[idx].min(0)
+        h = hi[idx].max(0)
+        eps = 1e-5 * np.maximum(np.abs(l), np.abs(h)) + 1e-6
+        aabbs[c, :3] = (l - eps).astype(np.float32)
+        aabbs[c, 3:] = (h + eps).astype(np.float32)
+    return slots.ravel(), aabbs
 
 
 def _loop(lo: int, hi: int, body, carry, max_unroll: int):
@@ -168,7 +253,8 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
     type-sorted visit order. Per-type math mirrors ops/intersect.py
     (which cites shape.hpp:49-56, :78-103)."""
     geo_ref, aux_ref, orig_ref, mtype_ref, arow_ref, erow_ref, \
-        expo_ref = scn_refs
+        expo_ref = scn_refs[:7]
+    caabb_ref = scn_refs[7]
     shape = d.x.shape
     inf = dtype(np.inf)
 
@@ -256,7 +342,54 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
     lo += ds.n_plane
     carry = _loop(lo, lo + ds.n_sphere, sphere_body, carry, max_unroll)
     lo += ds.n_sphere
-    carry = _loop(lo, lo + ds.n_tri, tri_body, carry, max_unroll)
+    if ds.n_clusters:
+        # Whole-tile cluster culling: slab-test the cluster AABB
+        # against every lane; if no lane's ray enters the box short of
+        # its current best hit, skip the cluster's cluster_k triangle
+        # tests entirely (lax.cond — one scalar branch per cluster).
+        # Near-zero direction components are clamped so the reciprocal
+        # stays finite; such rays cannot reach a cluster box at huge t
+        # anyway (the other axes' slabs bound t at scene scale), so the
+        # cull stays conservative. `tmin <= bt` uses <= (plus slack for
+        # f32 slab rounding): a tie t == best_t can still win on the
+        # smaller original index.
+        big = dtype(1e30)
+
+        def _safe_inv(c):
+            tiny = jnp.abs(c) < 1e-30
+            return jnp.where(tiny, jnp.where(c < 0, -big, big), 1.0 / c)
+
+        ivx, ivy, ivz = _safe_inv(d.x), _safe_inv(d.y), _safe_inv(d.z)
+        t_lo, K = lo, ds.cluster_k
+
+        def cluster_body(c, carry):
+            bt = carry[0]
+            tx1 = (caabb_ref[c, 0] - o.x) * ivx
+            ty1 = (caabb_ref[c, 1] - o.y) * ivy
+            tz1 = (caabb_ref[c, 2] - o.z) * ivz
+            tx2 = (caabb_ref[c, 3] - o.x) * ivx
+            ty2 = (caabb_ref[c, 4] - o.y) * ivy
+            tz2 = (caabb_ref[c, 5] - o.z) * ivz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                           jnp.minimum(ty1, ty2)),
+                               jnp.minimum(tz1, tz2))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                           jnp.maximum(ty1, ty2)),
+                               jnp.maximum(tz1, tz2))
+            enter = ((tmax >= tmin) & (tmax > 0)
+                     & (tmin <= bt * (1 + 1e-5) + 1e-5))
+
+            def run(cr):
+                for j in range(K):
+                    cr = tri_body(t_lo + c * K + j, cr)
+                return cr
+
+            return jax.lax.cond(jnp.any(enter), run, lambda cr: cr,
+                                carry)
+
+        carry = _loop(0, ds.n_clusters, cluster_body, carry, max_unroll)
+    else:
+        carry = _loop(lo, lo + ds.n_tri, tri_body, carry, max_unroll)
 
     bt, boi, ax, ay, az, mt, ar, er, ex, st = carry
     hit = bt < inf
@@ -538,7 +671,7 @@ def _resolve_interpret(interpret, rng):
     return interpret
 
 
-_N_SCN = 7  # operand count of DynScene.operands
+_N_SCN = 8  # operand count of DynScene.operands (incl. cluster AABBs)
 
 
 def _prep_stream_specs(rng, entry_args, smem, tile_rows, D, rows,

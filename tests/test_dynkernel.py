@@ -201,6 +201,67 @@ def test_sharded_dyn_matches_single_device():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_cluster_build_invariants():
+    """_cluster_tris: every triangle appears in exactly one slot, and
+    each cluster's AABB contains all member-triangle vertices."""
+    from drt_tpu.ops.dynkernel import _cluster_tris
+
+    scene, params, cam = gallery.build_mesh(level=2, dtype=jnp.float32)
+    ds0 = DynScene(scene, cluster_min_tris=10**9)  # just for the sort
+    t0 = ds0.n_plane + ds0.n_sphere
+    tri_geo = np.asarray(ds0.operands[0])[t0:]
+    K = 16
+    slots, aabbs = _cluster_tris(tri_geo, K)
+    assert slots.size == aabbs.shape[0] * K
+    real = slots[slots >= 0]
+    assert sorted(real.tolist()) == list(range(tri_geo.shape[0]))
+    v = tri_geo[:, :9].reshape(-1, 3, 3)
+    for c in range(aabbs.shape[0]):
+        idx = slots[c * K:(c + 1) * K]
+        idx = idx[idx >= 0]
+        lo, hi = aabbs[c, :3], aabbs[c, 3:]
+        assert (v[idx] >= lo - 1e-7).all() and (v[idx] <= hi + 1e-7).all()
+
+
+@pytest.mark.parametrize("level", [1, 2])
+def test_cluster_culling_bit_equals_unclustered(level):
+    """Cluster culling is a pure visit-order/skip optimization: the
+    forward radiance must be BIT-EQUAL with clustering on vs off (the
+    (t, original-index) winner is order-independent and padding
+    triangles are degenerate), and the retrace adjoint gradients must
+    also be bit-equal. level=2 (320 tris, 20+ clusters) exercises the
+    fori_loop cluster path; level=1 the unrolled one."""
+    scene, params, cam = gallery.build_mesh(level=level,
+                                            dtype=jnp.float32)
+    cfg = RenderConfig(width=8, height=8, spp=1, max_depth=4)
+    n = 512
+    cam_u = jax.random.uniform(jax.random.key(3), (2, n),
+                               dtype=jnp.float32)
+    tape = jax.random.uniform(jax.random.key(4), (cfg.max_depth, 3, n),
+                              dtype=jnp.float32)
+    alb = albedo_table(scene, params)
+    emi = emission_table(scene, params)
+    g = V3(*jax.random.uniform(jax.random.key(5), (3, n),
+                               dtype=jnp.float32))
+
+    outs = []
+    for ds in (DynScene(scene), DynScene(scene, cluster_min_tris=10**9)):
+        tracer = make_dyn_tracer(ds, cam, cfg, tile_rows=8, rng="tape",
+                                 interpret=True, n_rays=n)
+        adj = make_dyn_adjoint(ds, cam, cfg, tile_rows=8, rng="tape",
+                               interpret=True, n_rays=n)
+        L = tracer(alb, emi, ds.operands, cam_u, tape)
+        da, de = adj(alb, emi, ds.operands, cam_u, tape, g.x, g.y, g.z)
+        outs.append((L, da, de))
+    (L1, da1, de1), (L2, da2, de2) = outs
+    assert DynScene(scene).n_clusters > 0
+    for a, b in zip(L1, L2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(da1), np.asarray(da2))
+    np.testing.assert_array_equal(np.asarray(de1), np.asarray(de2))
+    assert np.asarray(L1.x).mean() > 0
+
+
 def test_dynscene_rejects_f64():
     scene, params, cam = cbox.build(dtype=jnp.float64)
     with pytest.raises(ValueError, match="f32"):
