@@ -341,6 +341,27 @@ def split_prefix_tape(seeds, chunk: int, cfg: RenderConfig):
     return cam_u, jnp.stack(rows)
 
 
+def _check_split_cfg(cfg: RenderConfig):
+    if cfg.bsdf_samples < 2:
+        raise ValueError("use make_fused_image_renderer / "
+                         "make_dyn_image_renderer for bsdf_samples == 1")
+    if cfg.unbiased:
+        raise ValueError("fused splitting is biased-only; use the xla "
+                         "backend for unbiased splitting gradients")
+
+
+def _resolve_split_adjoint(cfg: RenderConfig, tile_rows: int,
+                           adjoint: str, n_lanes: int) -> str:
+    if adjoint not in ("auto", "stored", "retrace"):
+        raise ValueError(f"unknown adjoint mode {adjoint!r}")
+    if adjoint == "auto":
+        tile = tile_rows * 128
+        padded = -(-n_lanes // tile) * tile
+        adjoint = ("stored" if padded * cfg.spp_chunks * cfg.max_depth * 8
+                   <= _STORED_BUDGET_BYTES else "retrace")
+    return adjoint
+
+
 def make_split_fused_image_renderer(scene: Scene, cam: Camera,
                                     cfg: RenderConfig,
                                     tile_rows: int = 32,
@@ -365,27 +386,10 @@ def make_split_fused_image_renderer(scene: Scene, cam: Camera,
     """
     from drt_tpu.renderer import lane_count
 
-    if cfg.bsdf_samples < 2:
-        raise ValueError("use make_fused_image_renderer for "
-                         "bsdf_samples == 1")
-    if cfg.unbiased:
-        raise ValueError("fused splitting is biased-only; use the xla "
-                         "backend for unbiased splitting gradients")
-    M = lane_count(cfg)
-    D = cfg.max_depth
-    w, h = cfg.width, cfg.height
-    spp_c = cfg.spp // cfg.spp_chunks
-    n_cam = w * h * spp_c
-    n_lanes = n_cam * M
-    dtype = jnp.float32
-
-    if adjoint not in ("auto", "stored", "retrace"):
-        raise ValueError(f"unknown adjoint mode {adjoint!r}")
-    if adjoint == "auto":
-        tile = tile_rows * 128
-        padded = -(-n_lanes // tile) * tile
-        adjoint = ("stored" if padded * cfg.spp_chunks * D * 8
-                   <= _STORED_BUDGET_BYTES else "retrace")
+    _check_split_cfg(cfg)
+    n_lanes = (cfg.width * cfg.height * (cfg.spp // cfg.spp_chunks)
+               * lane_count(cfg))
+    adjoint = _resolve_split_adjoint(cfg, tile_rows, adjoint, n_lanes)
 
     kw = dict(tile_rows=tile_rows, rng="tape", interpret=interpret,
               n_rays=n_lanes)
@@ -397,6 +401,72 @@ def make_split_fused_image_renderer(scene: Scene, cam: Camera,
                                          interpret=interpret)
     else:
         adj = make_fused_adjoint(scene, cam, cfg, **kw)
+    return _build_split_renderer(scene, cfg, adjoint, tracer, collect,
+                                 sweep, adj)
+
+
+def make_split_dyn_image_renderer(scene: Scene, cam: Camera,
+                                  cfg: RenderConfig,
+                                  tile_rows: int = 32,
+                                  interpret: bool | None = None,
+                                  adjoint: str = "auto",
+                                  unroll_shapes: int = 16):
+    """bsdf_samples > 1 on the memory-resident-scene (dyn) path: the
+    same prefix-shared lane-splitting estimator as
+    make_split_fused_image_renderer, over the dyn tape-mode kernels
+    (ops/dynkernel.py) — so triangle-mesh scenes past the baked unroll
+    budget keep the fused splitting speedup too. Accepts a Scene or a
+    prebuilt DynScene (custom cluster_k)."""
+    from drt_tpu.ops.dynkernel import (DynScene, make_dyn_adjoint,
+                                       make_dyn_collect_tracer,
+                                       make_dyn_sweep_adjoint,
+                                       make_dyn_tracer)
+    from drt_tpu.renderer import lane_count
+
+    _check_split_cfg(cfg)
+    n_lanes = (cfg.width * cfg.height * (cfg.spp // cfg.spp_chunks)
+               * lane_count(cfg))
+    adjoint = _resolve_split_adjoint(cfg, tile_rows, adjoint, n_lanes)
+    ds = DynScene.of(scene)
+    scene = ds.scene
+    scn = ds.operands
+    kw = dict(tile_rows=tile_rows, rng="tape", interpret=interpret,
+              n_rays=n_lanes, unroll_shapes=unroll_shapes)
+    tracer0 = make_dyn_tracer(ds, cam, cfg, **kw)
+
+    def tracer(alb, emi, cam_u, tape):
+        return tracer0(alb, emi, scn, cam_u, tape)
+
+    collect = sweep = adj = None
+    if adjoint == "stored":
+        collect0 = make_dyn_collect_tracer(ds, cam, cfg, **kw)
+
+        def collect(alb, emi, cam_u, tape):
+            return collect0(alb, emi, scn, cam_u, tape)
+
+        sweep = make_dyn_sweep_adjoint(ds, cfg, tile_rows=tile_rows,
+                                       interpret=interpret)
+    else:
+        adj0 = make_dyn_adjoint(ds, cam, cfg, **kw)
+
+        def adj(alb, emi, cam_u, tape, g):
+            return adj0(alb, emi, scn, cam_u, tape, g.x, g.y, g.z)
+
+    return _build_split_renderer(scene, cfg, adjoint, tracer, collect,
+                                 sweep, adj)
+
+
+def _build_split_renderer(scene: Scene, cfg: RenderConfig, adjoint: str,
+                          tracer, collect, sweep, adj):
+    """Splitting-renderer custom VJP, shared by the baked and dyn
+    factories (which pass kernel callables bound to the
+    `(alb, emi, cam_u, tape[, g_ray])` signature)."""
+    from drt_tpu.renderer import lane_count
+
+    M = lane_count(cfg)
+    w, h = cfg.width, cfg.height
+    spp_c = cfg.spp // cfg.spp_chunks
+    dtype = jnp.float32
 
     def _expanded_tape(seeds, c):
         return split_prefix_tape(seeds, c, cfg)

@@ -32,8 +32,10 @@ def resolve_backend(scene: Scene, cfg: RenderConfig, mesh: Mesh | None,
     Fused Pallas paths are chosen on TPU when the config maps onto the
     kernels: f32 scene (Mosaic has no f64), moderate unrolled depth
     (kernel compile time grows with max_depth: ~8 s fwd / ~10 s adjoint
-    at depth 32 on v5e), single-BSDF-sample estimator (per-vertex
-    splitting is XLA-only), and — on a mesh — whole tiles per device.
+    at depth 32 on v5e), and — on a mesh — whole tiles per device.
+    bsdf_samples > 1 takes the fused lane-splitting renderers
+    ("pallas-split" baked / "pallas-split-dyn" memory-resident) when
+    single-chip, else XLA.
     Small scenes (<= 24 shapes) take the scene-BAKED megakernels
     ("pallas"); larger scenes up to MAX_DYN_SHAPES take the
     memory-resident kernels ("pallas-dyn", ops/dynkernel.py) whose
@@ -52,8 +54,11 @@ def resolve_backend(scene: Scene, cfg: RenderConfig, mesh: Mesh | None,
     if cfg.bsdf_samples > 1:
         # Tree splitting: fused tape-mode kernels over M leaf lanes
         # with prefix-shared uniforms (single-chip); XLA elsewhere.
-        return ("pallas-split" if (baked_ok and mesh is None)
-                else "xla")
+        if mesh is None and baked_ok:
+            return "pallas-split"
+        if mesh is None and dyn_ok:
+            return "pallas-split-dyn"
+        return "xla"
     if mesh is None:
         return "pallas" if baked_ok else ("pallas-dyn" if dyn_ok
                                           else "xla")
@@ -85,17 +90,23 @@ def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
     the ray count tiles over the mesh, else xla.
     """
     backend = resolve_backend(scene, cfg, mesh, backend)
-    if (backend.startswith("pallas") and backend != "pallas-split"
+    if (backend.startswith("pallas")
+            and backend not in ("pallas-split", "pallas-split-dyn")
             and cfg.bsdf_samples != 1):
         raise ValueError("bsdf_samples > 1 (per-vertex splitting) runs "
-                         "on the xla backend or backend='pallas-split'")
-    if backend == "pallas-split":
+                         "on the xla backend or backend="
+                         "'pallas-split'/'pallas-split-dyn'")
+    if backend in ("pallas-split", "pallas-split-dyn"):
         if mesh is not None:
-            raise ValueError("pallas-split is single-chip; use xla for "
+            raise ValueError(f"{backend} is single-chip; use xla for "
                              "meshes with bsdf_samples > 1")
-        from drt_tpu.fused import (make_split_fused_image_renderer,
+        from drt_tpu.fused import (make_split_dyn_image_renderer,
+                                   make_split_fused_image_renderer,
                                    seeds_from_key)
-        fused = make_split_fused_image_renderer(scene, cam, cfg)
+        make = (make_split_fused_image_renderer
+                if backend == "pallas-split"
+                else make_split_dyn_image_renderer)
+        fused = make(scene, cam, cfg)
 
         def render(params: Params, key) -> jnp.ndarray:
             return fused(params, seeds_from_key(key))

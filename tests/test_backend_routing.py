@@ -57,7 +57,8 @@ def test_tpu_f64_scene_falls_back(tpu_backend):
 
 def test_tpu_bsdf_samples_routes_to_split(tpu_backend, cbox_scene):
     """Tree splitting on small baked scenes takes the fused lane-split
-    path (round-2 VERDICT missing-#2); meshes and big scenes fall back."""
+    path (round-2 VERDICT missing-#2); big scenes take its dyn
+    (memory-resident) counterpart; device meshes fall back to xla."""
     cfg = RenderConfig(width=64, height=48, spp=4, bsdf_samples=2,
                        max_depth=5)
     assert prender.resolve_backend(cbox_scene, cfg, None,
@@ -65,7 +66,10 @@ def test_tpu_bsdf_samples_routes_to_split(tpu_backend, cbox_scene):
     mesh = make_mesh(shape=(len(jax.devices()), 1))
     assert prender.resolve_backend(cbox_scene, cfg, mesh, "auto") == "xla"
     big = _resized_scene(cbox_scene, 30)
-    assert prender.resolve_backend(big, cfg, None, "auto") == "xla"
+    assert prender.resolve_backend(big, cfg, None,
+                                   "auto") == "pallas-split-dyn"
+    huge = _resized_scene(cbox_scene, prender.MAX_DYN_SHAPES + 1)
+    assert prender.resolve_backend(huge, cfg, None, "auto") == "xla"
 
 
 def _resized_scene(base, n):
