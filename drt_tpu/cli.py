@@ -38,11 +38,13 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--f64", action="store_true",
                    help="trace in float64 (CPU validation mode)")
     p.add_argument("--backend",
-                   choices=("auto", "xla", "pallas", "pallas-dyn"),
+                   choices=("auto", "xla", "pallas", "pallas-dyn",
+                            "pallas-split", "pallas-split-dyn"),
                    default="auto",
                    help="auto = fused Pallas megakernels on single-chip "
                         "TPU at moderate depth (scene-baked <= 24 "
-                        "shapes, memory-resident 'pallas-dyn' beyond), "
+                        "shapes, memory-resident 'pallas-dyn' beyond; "
+                        "'-split' variants when --bsdf-samples > 1), "
                         "XLA wavefront otherwise")
     p.add_argument("--unbiased", action="store_true",
                    help="unbiased gradient mode: the backward retraces "
