@@ -456,6 +456,51 @@ def make_split_dyn_image_renderer(scene: Scene, cam: Camera,
                                  sweep, adj)
 
 
+def make_sharded_split_image_renderer(scene: Scene, cam: Camera,
+                                      cfg: RenderConfig, mesh,
+                                      tile_rows: int = 32,
+                                      interpret: bool | None = None,
+                                      adjoint: str = "auto",
+                                      dyn: bool = False,
+                                      unroll_shapes: int = 16):
+    """bsdf_samples > 1 over a device mesh, by composition: the
+    prefix-shared M-lane tape (split_prefix_tape) is generated globally
+    XLA-side — the SPMD partitioner shards the threefry work with the
+    ray axis — and consumed by the sharded TAPE-mode kernels with spp
+    expanded to spp * M (the kernels are lane-oblivious; their image
+    mean over spp' = spp*M lanes IS the splitting estimator's mean, and
+    the tape-mode custom VJP's g / spp' matches the split builder's
+    per-lane cotangent). dyn=True uses the memory-resident kernels.
+
+    Returns `render(params, seeds: i32[2]) -> image`, differentiable in
+    params; spp_chunks == 1 (tape-mode constraint)."""
+    import dataclasses
+
+    from drt_tpu.renderer import lane_count
+
+    _check_split_cfg(cfg)
+    if cfg.spp_chunks != 1:
+        raise ValueError("sharded splitting requires spp_chunks == 1 "
+                         "(one tape per launch)")
+    M = lane_count(cfg)
+    cfg_l = dataclasses.replace(cfg, spp=cfg.spp * M, bsdf_samples=1)
+    if dyn:
+        inner = make_sharded_dyn_image_renderer(
+            scene, cam, cfg_l, mesh, tile_rows=tile_rows, rng="tape",
+            interpret=interpret, adjoint=adjoint,
+            unroll_shapes=unroll_shapes)
+    else:
+        inner = make_sharded_fused_image_renderer(
+            scene, cam, cfg_l, mesh, tile_rows=tile_rows, rng="tape",
+            interpret=interpret, adjoint=adjoint)
+
+    def render(params: Params, seeds: jnp.ndarray) -> jnp.ndarray:
+        cam_u, tape = split_prefix_tape(seeds, 0, cfg)
+        return inner(params, cam_u, tape)
+
+    return render
+
+
 def _build_split_renderer(scene: Scene, cfg: RenderConfig, adjoint: str,
                           tracer, collect, sweep, adj):
     """Splitting-renderer custom VJP, shared by the baked and dyn

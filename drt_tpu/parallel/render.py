@@ -53,11 +53,21 @@ def resolve_backend(scene: Scene, cfg: RenderConfig, mesh: Mesh | None,
     dyn_ok = common_ok and scene.num_shapes <= MAX_DYN_SHAPES
     if cfg.bsdf_samples > 1:
         # Tree splitting: fused tape-mode kernels over M leaf lanes
-        # with prefix-shared uniforms (single-chip); XLA elsewhere.
+        # with prefix-shared uniforms; sharded when the lane count
+        # tiles over the mesh (spp_chunks == 1, tape-mode); else XLA.
         if mesh is None and baked_ok:
             return "pallas-split"
         if mesh is None and dyn_ok:
             return "pallas-split-dyn"
+        if mesh is not None and (baked_ok or dyn_ok):
+            from drt_tpu.renderer import lane_count
+
+            n_lanes = (cfg.width * cfg.height
+                       * (cfg.spp // cfg.spp_chunks) * lane_count(cfg))
+            n_dev = int(mesh.devices.size)
+            if cfg.spp_chunks == 1 and n_lanes % (n_dev * 32 * 128) == 0:
+                return ("pallas-split-sharded" if baked_ok
+                        else "pallas-split-dyn-sharded")
         return "xla"
     if mesh is None:
         return "pallas" if baked_ok else ("pallas-dyn" if dyn_ok
@@ -91,15 +101,29 @@ def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
     """
     backend = resolve_backend(scene, cfg, mesh, backend)
     if (backend.startswith("pallas")
-            and backend not in ("pallas-split", "pallas-split-dyn")
+            and not backend.startswith("pallas-split")
             and cfg.bsdf_samples != 1):
         raise ValueError("bsdf_samples > 1 (per-vertex splitting) runs "
-                         "on the xla backend or backend="
-                         "'pallas-split'/'pallas-split-dyn'")
+                         "on the xla backend or a 'pallas-split*' "
+                         "backend")
+    if backend in ("pallas-split-sharded", "pallas-split-dyn-sharded"):
+        if mesh is None:
+            raise ValueError(f"{backend} backend requires a mesh")
+        from drt_tpu.fused import (make_sharded_split_image_renderer,
+                                   seeds_from_key)
+        fused = make_sharded_split_image_renderer(
+            scene, cam, cfg, mesh,
+            dyn=(backend == "pallas-split-dyn-sharded"))
+
+        def render(params: Params, key) -> jnp.ndarray:
+            return fused(params, seeds_from_key(key))
+
+        return jax.jit(render)
     if backend in ("pallas-split", "pallas-split-dyn"):
         if mesh is not None:
-            raise ValueError(f"{backend} is single-chip; use xla for "
-                             "meshes with bsdf_samples > 1")
+            raise ValueError(f"{backend} is single-chip over one tape; "
+                             "auto picks the sharded split path when "
+                             "the lane count tiles over the mesh")
         from drt_tpu.fused import (make_split_dyn_image_renderer,
                                    make_split_fused_image_renderer,
                                    seeds_from_key)

@@ -63,13 +63,22 @@ def test_tpu_bsdf_samples_routes_to_split(tpu_backend, cbox_scene):
                        max_depth=5)
     assert prender.resolve_backend(cbox_scene, cfg, None,
                                    "auto") == "pallas-split"
-    mesh = make_mesh(shape=(len(jax.devices()), 1))
-    assert prender.resolve_backend(cbox_scene, cfg, mesh, "auto") == "xla"
     big = _resized_scene(cbox_scene, 30)
     assert prender.resolve_backend(big, cfg, None,
                                    "auto") == "pallas-split-dyn"
     huge = _resized_scene(cbox_scene, prender.MAX_DYN_SHAPES + 1)
     assert prender.resolve_backend(huge, cfg, None, "auto") == "xla"
+    # Sharded: lanes (64*48*4*16 = 196608) tile over the mesh.
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+    assert prender.resolve_backend(cbox_scene, cfg, mesh,
+                                   "auto") == "pallas-split-sharded"
+    assert prender.resolve_backend(big, cfg, mesh,
+                                   "auto") == "pallas-split-dyn-sharded"
+    # spp_chunks > 1 is incompatible with the one-tape sharded path.
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, spp_chunks=2)
+    assert prender.resolve_backend(cbox_scene, cfg2, mesh,
+                                   "auto") == "xla"
 
 
 def _resized_scene(base, n):

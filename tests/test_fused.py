@@ -523,3 +523,46 @@ def test_split_fused_matches_expanded_xla():
     g_st = jax.grad(lambda p: r_st(p, seeds).sum())(params)
     for a, b in zip(g_st, g_re):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_split_matches_single_device():
+    """The sharded splitting renderer (global prefix tape + sharded
+    tape-mode kernels at spp' = spp*M) must bit-equal the single-chip
+    splitting renderer's image, with psum'd grads to f32 reduction
+    tolerance, on baked AND dyn kernels over the 8-device CPU mesh."""
+    from jax.sharding import Mesh
+
+    from drt_tpu.fused import (make_sharded_split_image_renderer,
+                               make_split_dyn_image_renderer,
+                               make_split_fused_image_renderer)
+    from drt_tpu.models import gallery
+
+    devices = jax.devices()
+    if len(devices) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = Mesh(np.asarray(devices[:2]), ("rays",))
+    # n_lanes = 16*16*2*4 = 2048 = 2 devices x 1024-lane (8-row) tiles.
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3,
+                       bsdf_samples=2)
+    seeds = jnp.asarray([9, 4], jnp.int32)
+
+    for tag, scene_build, single_make, dyn in (
+            ("baked", cbox.build, make_split_fused_image_renderer, False),
+            ("dyn", lambda dtype: gallery.build_mesh(level=1, dtype=dtype),
+             make_split_dyn_image_renderer, True)):
+        scene, params, cam = scene_build(dtype=jnp.float32)
+        single = single_make(scene, cam, cfg, tile_rows=8,
+                             interpret=True)
+        sharded = make_sharded_split_image_renderer(
+            scene, cam, cfg, mesh, tile_rows=8, interpret=True, dyn=dyn)
+        img_s = jax.jit(single)(params, seeds)
+        img_m = jax.jit(sharded)(params, seeds)
+        np.testing.assert_array_equal(np.asarray(img_m),
+                                      np.asarray(img_s), err_msg=tag)
+        assert float(np.abs(np.asarray(img_s)).mean()) > 0, tag
+        g_s = jax.jit(jax.grad(lambda p: single(p, seeds).sum()))(params)
+        g_m = jax.jit(jax.grad(lambda p: sharded(p, seeds).sum()))(params)
+        for a, b in zip(g_m, g_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-7,
+                                       err_msg=tag)
