@@ -257,9 +257,19 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
     caabb_ref = scn_refs[7]
     shape = d.x.shape
     inf = dtype(np.inf)
+    one = jnp.ones(shape, dtype)
 
+    # fastmath carries the best hit distance as a sign-normalized RATIO
+    # (bnum, bden) with bden > 0, so no per-shape divide exists in the
+    # sweep (plane h/denom and triangle 1/det become select + abs);
+    # candidates compare by cross-multiplication (num*bden < bnum*den,
+    # legal since both dens > 0 — overflow-safe for scene scales up to
+    # ~5e12) and ONE divide per lane recovers the winner's t after the
+    # loop. Exact mode keeps the reference-exact value forms
+    # (shape.hpp:49-56) with den == 1.
     carry = (
-        jnp.full(shape, inf, dtype),            # best_t
+        jnp.full(shape, inf, dtype),            # best_t (fm: numerator)
+        one,                                    # fm: denominator (> 0)
         jnp.full(shape, ds.n_shapes, jnp.int32),  # best original index
         jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
         jnp.zeros(shape, dtype),                # aux (normal source)
@@ -270,12 +280,20 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
         jnp.full(shape, PLANE, jnp.int32),      # shape type
     )
 
-    def update(carry, i, t, valid, auxx, auxy, auxz, st_lit):
-        bt, boi, ax, ay, az, mt, ar, er, ex, st = carry
+    def update(carry, i, num, den, valid, auxx, auxy, auxz, st_lit):
+        bn, bd, boi, ax, ay, az, mt, ar, er, ex, st = carry
         oi = orig_ref[i]
-        closer = valid & ((t < bt)
-                          | ((t == bt) & (bt < inf) & (oi < boi)))
-        return (jnp.where(closer, t, bt),
+        if fastmath:
+            lhs = num * bd
+            rhs = bn * den
+            closer = valid & ((lhs < rhs)
+                              | ((lhs == rhs) & (bn < inf) & (oi < boi)))
+        else:
+            den = one
+            closer = valid & ((num < bn)
+                              | ((num == bn) & (bn < inf) & (oi < boi)))
+        return (jnp.where(closer, num, bn),
+                jnp.where(closer, den, bd),
                 jnp.where(closer, oi, boi),
                 jnp.where(closer, auxx, ax),
                 jnp.where(closer, auxy, ay),
@@ -291,8 +309,15 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
         off = geo_ref[i, 3]
         h = (o.x * n0 + o.y * n1 + o.z * n2) - off
         denom = d.x * (-n0) + d.y * (-n1) + d.z * (-n2)
+        if fastmath:
+            # t = h/denom > 0 <=> same signs <=> num > 0 with den > 0.
+            neg = denom < 0
+            num = jnp.where(neg, -h, h)
+            den = jnp.abs(denom)
+            return update(carry, i, num, den, (num > 0) & (den > 0),
+                          n0, n1, n2, PLANE)
         t = h / denom
-        return update(carry, i, t, t > 0, n0, n1, n2, PLANE)
+        return update(carry, i, t, None, t > 0, n0, n1, n2, PLANE)
 
     def sphere_body(i, carry):
         c0, c1, c2 = geo_ref[i, 0], geo_ref[i, 1], geo_ref[i, 2]
@@ -309,8 +334,8 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
             t1 = (-b - sq) / 2.0
             t2 = (-b + sq) / 2.0
         t = jnp.where(t1 > 0, t1, t2)
-        return update(carry, i, t, (disc >= 0) & (t > 0), c0, c1, c2,
-                      SPHERE)
+        return update(carry, i, t, one if fastmath else None,
+                      (disc >= 0) & (t > 0), c0, c1, c2, SPHERE)
 
     def tri_body(i, carry):
         v0x, v0y, v0z = geo_ref[i, 0], geo_ref[i, 1], geo_ref[i, 2]
@@ -324,18 +349,34 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
         py = d.z * e2x - d.x * e2z
         pz = d.x * e2y - d.y * e2x
         det = e1x * px + e1y * py + e1z * pz
-        inv = 1.0 / det
         tvx, tvy, tvz = o.x - v0x, o.y - v0y, o.z - v0z
-        u = (tvx * px + tvy * py + tvz * pz) * inv
+        u_raw = tvx * px + tvy * py + tvz * pz
         qx = tvy * e1z - tvz * e1y
         qy = tvz * e1x - tvx * e1z
         qz = tvx * e1y - tvy * e1x
-        v = (d.x * qx + d.y * qy + d.z * qz) * inv
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        v_raw = d.x * qx + d.y * qy + d.z * qz
+        t_raw = e2x * qx + e2y * qy + e2z * qz
+        if fastmath:
+            # Barycentric/depth tests on sign-normalized numerators
+            # (den = |det| > 0): u >= 0 <=> u_n >= 0, u+v <= 1 <=>
+            # u_n+v_n <= den, t > 0 <=> t_n > 0. No divide.
+            neg = det < 0
+            den = jnp.abs(det)
+            u_n = jnp.where(neg, -u_raw, u_raw)
+            v_n = jnp.where(neg, -v_raw, v_raw)
+            t_n = jnp.where(neg, -t_raw, t_raw)
+            valid = ((den > _TRI_DET_EPS) & (u_n >= 0) & (v_n >= 0)
+                     & (u_n + v_n <= den) & (t_n > 0))
+            return update(carry, i, t_n, den, valid, aux_ref[i, 0],
+                          aux_ref[i, 1], aux_ref[i, 2], TRIANGLE)
+        inv = 1.0 / det
+        u = u_raw * inv
+        v = v_raw * inv
+        t = t_raw * inv
         valid = ((jnp.abs(det) > _TRI_DET_EPS) & (u >= 0) & (v >= 0)
                  & (u + v <= 1) & (t > 0))
-        return update(carry, i, t, valid, aux_ref[i, 0], aux_ref[i, 1],
-                      aux_ref[i, 2], TRIANGLE)
+        return update(carry, i, t, None, valid, aux_ref[i, 0],
+                      aux_ref[i, 1], aux_ref[i, 2], TRIANGLE)
 
     lo = 0
     carry = _loop(lo, lo + ds.n_plane, plane_body, carry, max_unroll)
@@ -363,7 +404,7 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
         t_lo, K = lo, ds.cluster_k
 
         def cluster_body(c, carry):
-            bt = carry[0]
+            bn, bd = carry[0], carry[1]
             tx1 = (caabb_ref[c, 0] - o.x) * ivx
             ty1 = (caabb_ref[c, 1] - o.y) * ivy
             tz1 = (caabb_ref[c, 2] - o.z) * ivz
@@ -376,8 +417,12 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
             tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
                                            jnp.maximum(ty1, ty2)),
                                jnp.maximum(tz1, tz2))
-            enter = ((tmax >= tmin) & (tmax > 0)
-                     & (tmin <= bt * (1 + 1e-5) + 1e-5))
+            if fastmath:
+                # tmin <= (bn/bd)*(1+s) + s  (bd > 0), cross-multiplied.
+                bound = tmin * bd <= bn * (1 + 1e-5) + 1e-5 * bd
+            else:
+                bound = tmin <= bn * (1 + 1e-5) + 1e-5
+            enter = (tmax >= tmin) & (tmax > 0) & bound
 
             def run(cr):
                 for j in range(K):
@@ -391,8 +436,11 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
     else:
         carry = _loop(lo, lo + ds.n_tri, tri_body, carry, max_unroll)
 
-    bt, boi, ax, ay, az, mt, ar, er, ex, st = carry
-    hit = bt < inf
+    bn, bd, boi, ax, ay, az, mt, ar, er, ex, st = carry
+    hit = bn < inf
+    # The one divide per lane (bd == 1 in exact mode: bn IS t, and
+    # inf/1 == inf on no-hit lanes either way).
+    bt = bn / bd if fastmath else bn
     return bt, hit, V3(ax, ay, az), mt, ar, er, ex, st
 
 

@@ -223,14 +223,17 @@ def test_cluster_build_invariants():
         assert (v[idx] >= lo - 1e-7).all() and (v[idx] <= hi + 1e-7).all()
 
 
-@pytest.mark.parametrize("level", [1, 2])
-def test_cluster_culling_bit_equals_unclustered(level):
+@pytest.mark.parametrize("level,fastmath", [(1, False), (2, False),
+                                            (2, True)])
+def test_cluster_culling_bit_equals_unclustered(level, fastmath):
     """Cluster culling is a pure visit-order/skip optimization: the
     forward radiance must be BIT-EQUAL with clustering on vs off (the
     (t, original-index) winner is order-independent and padding
     triangles are degenerate), and the retrace adjoint gradients must
     also be bit-equal. level=2 (320 tris, 20+ clusters) exercises the
-    fori_loop cluster path; level=1 the unrolled one."""
+    fori_loop cluster path; level=1 the unrolled one; fastmath=True the
+    ratio-carry sweep (whose cross-multiplied cull bound must stay
+    conservative too)."""
     scene, params, cam = gallery.build_mesh(level=level,
                                             dtype=jnp.float32)
     cfg = RenderConfig(width=8, height=8, spp=1, max_depth=4)
@@ -247,9 +250,11 @@ def test_cluster_culling_bit_equals_unclustered(level):
     outs = []
     for ds in (DynScene(scene), DynScene(scene, cluster_min_tris=10**9)):
         tracer = make_dyn_tracer(ds, cam, cfg, tile_rows=8, rng="tape",
-                                 interpret=True, n_rays=n)
+                                 interpret=True, n_rays=n,
+                                 fastmath=fastmath)
         adj = make_dyn_adjoint(ds, cam, cfg, tile_rows=8, rng="tape",
-                               interpret=True, n_rays=n)
+                               interpret=True, n_rays=n,
+                               fastmath=fastmath)
         L = tracer(alb, emi, ds.operands, cam_u, tape)
         da, de = adj(alb, emi, ds.operands, cam_u, tape, g.x, g.y, g.z)
         outs.append((L, da, de))
@@ -260,6 +265,34 @@ def test_cluster_culling_bit_equals_unclustered(level):
     np.testing.assert_array_equal(np.asarray(da1), np.asarray(da2))
     np.testing.assert_array_equal(np.asarray(de1), np.asarray(de2))
     assert np.asarray(L1.x).mean() > 0
+
+
+def test_dyn_fastmath_matches_exact_statistically():
+    """The ratio-carry fastmath sweep (no divides in the nearest-hit
+    loop: plane h/denom and triangle 1/det replaced by sign-normalized
+    cross-multiplied comparisons, one t = bnum/bden divide per lane
+    after the loop) preserves the estimator on the mesh scene: tape-mode
+    fastmath vs exact tracer to loose f32 tolerance, and the winner set
+    itself is identical up to f32 rounding of degenerate ties."""
+    scene, params, cam = gallery.build_mesh(level=1, dtype=jnp.float32)
+    cfg = RenderConfig(width=8, height=8, spp=2, max_depth=4)
+    n = 8 * 8 * 2
+    cam_u = jax.random.uniform(jax.random.key(6), (2, n),
+                               dtype=jnp.float32)
+    tape = jax.random.uniform(jax.random.key(7), (cfg.max_depth, 3, n),
+                              dtype=jnp.float32)
+    alb = albedo_table(scene, params)
+    emi = emission_table(scene, params)
+    L = {}
+    for fm in (False, True):
+        tracer = make_dyn_tracer(DynScene(scene), cam, cfg, tile_rows=8,
+                                 rng="tape", interpret=True, n_rays=n,
+                                 fastmath=fm)
+        L[fm] = np.stack([np.asarray(c) for c in
+                          tracer(alb, emi, DynScene(scene).operands,
+                                 cam_u, tape)])
+    assert L[False].mean() > 0
+    np.testing.assert_allclose(L[True], L[False], rtol=2e-3, atol=1e-4)
 
 
 def test_dynscene_rejects_f64():
