@@ -125,12 +125,19 @@ def _intersect_static(ss: StaticScene, o: V3, d: V3, best_t, dtype,
     (reference: pathtracer.hpp:72-89; per-shape math mirrors
     drt_tpu/ops/intersect.py which cites shape.hpp).
     fastmath folds the sphere-root /2.0 into *0.5 (value-identical for
-    binary IEEE, kept off in tape kernels purely for op-shape parity)."""
+    binary IEEE, kept off in tape kernels purely for op-shape parity)
+    and carries plane/triangle hit distances as sign-normalized
+    (num, den > 0) RATIOS — no divide in the sweep; candidates compare
+    by cross-multiplication and ONE divide recovers the winner's t
+    (mirrors ops/dynkernel._dyn_intersect; `dens[s] is None` marks an
+    exact t with literal denominator 1)."""
     ts = []
+    dens = []
     valids = []
     for s in range(ss.n_shapes):
         g = ss.geo[s]
         st = ss.shape_type[s]
+        den = None
         if st == PLANE:
             n3 = [dtype(g[0]), dtype(g[1]), dtype(g[2])]
             off = float(g[3])
@@ -138,8 +145,14 @@ def _intersect_static(ss: StaticScene, o: V3, d: V3, best_t, dtype,
             if off != 0.0:
                 h = h - dtype(off)
             denom = _dot_lit(d.x, d.y, d.z, [-n3[0], -n3[1], -n3[2]])
-            t = h / denom
-            valid = t > 0
+            if fastmath:
+                # t = h/denom > 0 <=> same signs <=> num > 0, den > 0.
+                t = jnp.where(denom < 0, -h, h)
+                den = jnp.abs(denom)
+                valid = (t > 0) & (den > 0)
+            else:
+                t = h / denom
+                valid = t > 0
         elif st == SPHERE:
             cx, cy, cz = (dtype(g[0]), dtype(g[1]), dtype(g[2]))
             r2 = dtype(g[3] * g[3])
@@ -165,28 +178,55 @@ def _intersect_static(ss: StaticScene, o: V3, d: V3, best_t, dtype,
             py = d.z * dtype(e2[0]) - d.x * dtype(e2[2])
             pz = d.x * dtype(e2[1]) - d.y * dtype(e2[0])
             det = _dot_lit(px, py, pz, e1)
-            inv = 1.0 / det
             tvx, tvy, tvz = (o.x - dtype(v0[0]), o.y - dtype(v0[1]),
                              o.z - dtype(v0[2]))
-            u = _dot(tvx, tvy, tvz, px, py, pz) * inv
+            u_raw = _dot(tvx, tvy, tvz, px, py, pz)
             # q = cross(tvec, e1) with literal e1
             qx = tvy * dtype(e1[2]) - tvz * dtype(e1[1])
             qy = tvz * dtype(e1[0]) - tvx * dtype(e1[2])
             qz = tvx * dtype(e1[1]) - tvy * dtype(e1[0])
-            v = _dot(d.x, d.y, d.z, qx, qy, qz) * inv
-            t = _dot_lit(qx, qy, qz, e2)
-            t = t * inv
-            valid = ((jnp.abs(det) > _TRI_DET_EPS) & (u >= 0) & (v >= 0)
-                     & (u + v <= 1) & (t > 0))
+            v_raw = _dot(d.x, d.y, d.z, qx, qy, qz)
+            t_raw = _dot_lit(qx, qy, qz, e2)
+            if fastmath:
+                neg = det < 0
+                den = jnp.abs(det)
+                u_n = jnp.where(neg, -u_raw, u_raw)
+                v_n = jnp.where(neg, -v_raw, v_raw)
+                t = jnp.where(neg, -t_raw, t_raw)
+                valid = ((den > _TRI_DET_EPS) & (u_n >= 0) & (v_n >= 0)
+                         & (u_n + v_n <= den) & (t > 0))
+            else:
+                inv = 1.0 / det
+                u = u_raw * inv
+                v = v_raw * inv
+                t = t_raw * inv
+                valid = ((jnp.abs(det) > _TRI_DET_EPS) & (u >= 0)
+                         & (v >= 0) & (u + v <= 1) & (t > 0))
         ts.append(t)
+        dens.append(den)
         valids.append(valid)
 
     best_i = jnp.zeros_like(best_t, jnp.int32)
-    for s in range(ss.n_shapes):
-        closer = valids[s] & (ts[s] < best_t)  # strict <: keep-first ties
-        best_t = jnp.where(closer, ts[s], best_t)
-        best_i = jnp.where(closer, s, best_i)
-    hit_valid = jnp.isfinite(best_t)
+    if fastmath:
+        best_num, best_den = best_t, jnp.ones_like(best_t)
+        for s in range(ss.n_shapes):
+            den = dens[s]
+            lhs = ts[s] * best_den
+            rhs = best_num if den is None else best_num * den
+            closer = valids[s] & (lhs < rhs)  # strict <: keep-first
+            best_num = jnp.where(closer, ts[s], best_num)
+            best_den = jnp.where(closer,
+                                 jnp.ones_like(best_den) if den is None
+                                 else den, best_den)
+            best_i = jnp.where(closer, s, best_i)
+        hit_valid = jnp.isfinite(best_num)
+        best_t = best_num / best_den
+    else:
+        for s in range(ss.n_shapes):
+            closer = valids[s] & (ts[s] < best_t)  # keep-first ties
+            best_t = jnp.where(closer, ts[s], best_t)
+            best_i = jnp.where(closer, s, best_i)
+        hit_valid = jnp.isfinite(best_t)
     masks = [(best_i == s) & hit_valid for s in range(ss.n_shapes)]
     return best_t, masks
 

@@ -102,16 +102,20 @@ def test_forward_specular_mirror_triangle_scene():
     np.testing.assert_allclose(pa, ra, rtol=5e-5, atol=1e-5)
 
 
-def test_fastmath_kernel_matches_exact_statistically():
+@pytest.mark.parametrize("build", ["glossy", "tri"])
+def test_fastmath_kernel_matches_exact_statistically(build):
     """The fast-math kernel rewrites (hardware rsqrt, algebraically
-    cancelled s*cos/pdf quotients, *0.5 root halving) preserve the
-    estimator: tape-mode fastmath vs exact tracer on the glossy scene
-    (diffuse + specular + mirror), loose f32 tolerance (the production
+    cancelled s*cos/pdf quotients, *0.5 root halving, ratio-carry
+    divide-free nearest-hit) preserve the estimator: tape-mode fastmath
+    vs exact tracer on the glossy scene (diffuse + specular + mirror)
+    and the triangle scene, loose f32 tolerance (the production
     internal-RNG path is only statistically pinned anyway)."""
     from drt_tpu.models import gallery
     from drt_tpu.ops.megakernel import make_fused_tracer
 
-    scene, params, cam = gallery.build_glossy(dtype=jnp.float32)
+    builder = {"glossy": gallery.build_glossy,
+               "tri": gallery.build_tri}[build]
+    scene, params, cam = builder(dtype=jnp.float32)
     cfg = RenderConfig(width=8, height=8, spp=2, max_depth=4)
     n = 8 * 8 * 2
     cam_u = jax.random.uniform(jax.random.key(0), (2, n),
