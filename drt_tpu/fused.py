@@ -1115,3 +1115,98 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
     return _build_internal_renderer(scene, cfg, adjoint, sharded_trace,
                                     sharded_collect, sharded_sweep,
                                     sharded_adj)
+
+
+def make_regen_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
+                              tile_rows: int = 8,
+                              interpret: bool | None = None,
+                              adjoint: str = "auto",
+                              fastmath: bool | str = "auto"):
+    """Build `render(params, seeds: i32[2]) -> image f[H,W,3]` on the
+    path-REGENERATION kernels (ops/regen.py): lanes are pixels, each
+    rendering its spp samples sequentially and refilling dead lanes with
+    the next sample — ~E[path length]/max_depth of the lockstep kernels'
+    trip count. Internal (hash-keyed) RNG only; biased adjoint only (the
+    stateless keyed draws make the stored sweep replay exact).
+
+    adjoint: "stored" saves the per-trip (sc, meta) residuals from the
+    VJP forward (8 B/lane-trip, like the lockstep stored adjoint);
+    "retrace" re-runs the collect kernel inside the backward instead
+    (one chunk's residuals live at a time); "auto" picks by the
+    footprint budget as in make_fused_image_renderer.
+    """
+    _check_fused_cfg(cfg)
+    if cfg.unbiased:
+        raise ValueError(
+            "the regen renderer is biased-only (stored/replayed keyed "
+            "streams); use the lockstep pallas or xla backend for "
+            "unbiased gradients (integrate.hpp:11-24)")
+    adjoint = _resolve_adjoint(cfg, adjoint, tile_rows=tile_rows)
+    fm = _resolve_fastmath(fastmath, "internal")
+    from drt_tpu.ops.regen import make_regen_sweep_adjoint, make_regen_tracer
+    tracer = make_regen_tracer(scene, cam, cfg, tile_rows=tile_rows,
+                               interpret=interpret, fastmath=fm)
+    collect = make_regen_tracer(scene, cam, cfg, tile_rows=tile_rows,
+                                interpret=interpret, fastmath=fm,
+                                collect=True)
+    sweep = make_regen_sweep_adjoint(scene, cfg, tile_rows=tile_rows,
+                                     interpret=interpret)
+    w, h = cfg.width, cfg.height
+    npix = w * h
+    spp_c = cfg.spp // cfg.spp_chunks
+
+    def _img(L):
+        return jnp.stack([L.x, L.y, L.z], -1).reshape(h, w, 3)
+
+    @jax.custom_vjp
+    def render(params: Params, seeds: jnp.ndarray) -> jnp.ndarray:
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        img = jnp.zeros((h, w, 3), alb.dtype)
+        for c in range(cfg.spp_chunks):
+            L, _ = tracer(alb, emi, seeds, sample_base=c * spp_c)
+            img = img + _img(L)
+        return img / cfg.spp
+
+    def fwd(params, seeds):
+        if adjoint != "stored":
+            return render(params, seeds), (params, seeds, None)
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        img = jnp.zeros((h, w, 3), alb.dtype)
+        residuals = []
+        for c in range(cfg.spp_chunks):
+            L, rsc, rmeta, trips = collect(alb, emi, seeds,
+                                           sample_base=c * spp_c)
+            residuals.append((rsc, rmeta, trips))
+            img = img + _img(L)
+        return img / cfg.spp, (params, seeds, tuple(residuals))
+
+    def bwd(res, g):
+        params, seeds, residuals = res
+        alb = albedo_table(scene, params)
+        emi = emission_table(scene, params)
+        dtype = alb.dtype
+        # Lanes are pixels: one cotangent per pixel, constant across its
+        # samples (image = sum over all spp of per-sample radiance / spp).
+        g_pix = (g / cfg.spp).astype(dtype).reshape(npix, 3)
+        g_lane = V3(g_pix[:, 0], g_pix[:, 1], g_pix[:, 2])
+        k = params.albedo.shape[0]
+        l = params.emission.shape[0]
+        da = jnp.zeros((k, 3), dtype)
+        de = jnp.zeros((l, 3), dtype)
+        for c in range(cfg.spp_chunks):
+            if residuals is not None:
+                rsc, rmeta, trips = residuals[c]
+            else:
+                _, rsc, rmeta, trips = collect(alb, emi, seeds,
+                                               sample_base=c * spp_c)
+            da_c, de_c = sweep(alb, emi, rsc, rmeta, trips, g_lane)
+            da = da + da_c[:k]
+            de = de + de_c[:l]
+        dparams = Params(albedo=da.astype(params.albedo.dtype),
+                         emission=de.astype(params.emission.dtype))
+        return (dparams, None)
+
+    render.defvjp(fwd, bwd)
+    return render

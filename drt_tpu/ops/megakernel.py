@@ -748,6 +748,16 @@ def _camera_rays_static(sc: StaticCamera, spp_c: int, tile_rows: int,
     npix = sc.width * sc.height
     pix = idx - (idx // npix) * npix  # idx % npix
     pix = jnp.minimum(pix, npix - 1)  # clamp padding rays
+    return _camera_ray_from_pix(sc, pix, u_s, u_t, dtype, fastmath=fastmath)
+
+
+def _camera_ray_from_pix(sc: StaticCamera, pix, u_s, u_t, dtype,
+                         fastmath: bool = False):
+    """Primary ray for explicit per-lane PIXEL indices (camera.hpp:51-60).
+    Factored from _camera_rays_static (same ops, bit-exact) so the
+    regeneration kernel — whose lanes are pixels at varying sample
+    indices — shares the exact camera math."""
+    shape = pix.shape
     y = pix // sc.width
     x = pix - y * sc.width
     s = (x.astype(dtype) + u_s) / dtype(sc.width)

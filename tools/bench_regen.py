@@ -1,0 +1,120 @@
+"""A/B the path-regeneration forward kernel vs the lockstep fused
+forward on the real chip.
+
+Different RNG families (hash-keyed vs hardware PRNG streams), so images
+agree statistically, not bitwise; throughput is the measurement. Prints
+one JSON object, incrementally keyed (partial output survives a crash).
+
+Usage: python tools/bench_regen.py [--depth 5] [--spp 256]
+       [--tile-rows 8 16 32] [--chunks 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def time_best(fn, *args, reps=5):
+    jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[0], ts[len(ts) // 2]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--depth", type=int, default=5)
+    ap.add_argument("--spp", type=int, default=256)
+    ap.add_argument("--chunks", type=int, default=16)
+    ap.add_argument("--tile-rows", type=int, nargs="+", default=[8, 16, 32])
+    ap.add_argument("--skip-lockstep", action="store_true")
+    args = ap.parse_args()
+
+    from drt_tpu.config import RenderConfig
+    from drt_tpu.fused import make_fused_image_renderer, seeds_from_key
+    from drt_tpu.models import cbox
+    from drt_tpu.ops.regen import make_regen_tracer
+    from drt_tpu.scene import albedo_table, emission_table
+
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    cfg = RenderConfig(width=640, height=480, spp=args.spp,
+                       min_bounces=1, absorb_prob=0.5,
+                       max_depth=args.depth, spp_chunks=args.chunks)
+    n_rays = cfg.width * cfg.height * cfg.spp
+    spp_c = cfg.spp // cfg.spp_chunks
+    seeds = seeds_from_key(jax.random.key(0))
+    out = {"depth": args.depth, "spp": args.spp, "chunks": args.chunks}
+
+    ref_img = None
+    if not args.skip_lockstep:
+        render = make_fused_image_renderer(scene, cam, cfg, fastmath=True)
+        fwd = jax.jit(render)
+        tf, tf_med = time_best(fwd, params, seeds)
+        out["lockstep_fwd_mrays_s"] = round(n_rays / tf / 1e6, 1)
+        out["lockstep_fwd_mrays_s_median"] = round(n_rays / tf_med / 1e6, 1)
+        ref_img = np.asarray(fwd(params, seeds))
+        print(json.dumps(out), flush=True)
+
+    h, w = cfg.height, cfg.width
+    for tr in args.tile_rows:
+        t0 = time.perf_counter()
+        trace = make_regen_tracer(scene, cam, cfg, tile_rows=tr,
+                                  fastmath=True)
+
+        def render_regen(p, s, trace=trace):
+            alb = albedo_table(scene, p)
+            emi = emission_table(scene, p)
+            acc = None
+            trips = []
+            for c in range(cfg.spp_chunks):
+                L, t = trace(alb, emi, s, sample_base=c * spp_c)
+                img = jnp.stack([L.x, L.y, L.z], -1)
+                acc = img if acc is None else acc + img
+                trips.append(t)
+            return (acc / cfg.spp).reshape(h, w, 3), jnp.stack(trips)
+
+        fwd_r = jax.jit(render_regen)
+        try:
+            img_r, trips = jax.block_until_ready(fwd_r(params, seeds))
+        except Exception as e:  # noqa: BLE001 - report and continue sweep
+            out[f"regen_tr{tr}_error"] = repr(e)[:300]
+            print(json.dumps(out), flush=True)
+            continue
+        out[f"regen_tr{tr}_compile_s"] = round(time.perf_counter() - t0, 1)
+        tf, tf_med = time_best(fwd_r, params, seeds)
+        out[f"regen_tr{tr}_fwd_mrays_s"] = round(n_rays / tf / 1e6, 1)
+        out[f"regen_tr{tr}_fwd_mrays_s_median"] = round(
+            n_rays / tf_med / 1e6, 1)
+        trips = np.asarray(trips)
+        out[f"regen_tr{tr}_trips_mean"] = float(trips.mean())
+        out[f"regen_tr{tr}_trips_max"] = int(trips.max())
+        out[f"regen_tr{tr}_trip_budget"] = int(spp_c * cfg.max_depth)
+        img_r = np.asarray(img_r)
+        out[f"regen_tr{tr}_finite"] = bool(np.isfinite(img_r).all())
+        if ref_img is not None:
+            out[f"regen_tr{tr}_mean_rel_diff"] = float(
+                abs(img_r.mean() - ref_img.mean()) / ref_img.mean())
+            out[f"regen_tr{tr}_px_rel_rms"] = float(
+                np.sqrt(((img_r - ref_img) ** 2).mean())
+                / max(ref_img.std(), 1e-9))
+        print(json.dumps(out), flush=True)
+
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
