@@ -1135,13 +1135,7 @@ def make_regen_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
     (one chunk's residuals live at a time); "auto" picks by the
     footprint budget as in make_fused_image_renderer.
     """
-    _check_fused_cfg(cfg)
-    if cfg.unbiased:
-        raise ValueError(
-            "the regen renderer is biased-only (stored/replayed keyed "
-            "streams); use the lockstep pallas or xla backend for "
-            "unbiased gradients (integrate.hpp:11-24)")
-    adjoint = _resolve_adjoint(cfg, adjoint, tile_rows=tile_rows)
+    adjoint = _check_regen_cfg(cfg, adjoint, tile_rows)
     fm = _resolve_fastmath(fastmath, "internal")
     from drt_tpu.ops.regen import make_regen_sweep_adjoint, make_regen_tracer
     tracer = make_regen_tracer(scene, cam, cfg, tile_rows=tile_rows,
@@ -1151,6 +1145,41 @@ def make_regen_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
                                 collect=True)
     sweep = make_regen_sweep_adjoint(scene, cfg, tile_rows=tile_rows,
                                      interpret=interpret)
+
+    def trace_fn(alb, emi, seeds, sb):
+        L, _ = tracer(alb, emi, seeds, sample_base=sb)
+        return L
+
+    def collect_fn(alb, emi, seeds, sb):
+        return collect(alb, emi, seeds, sample_base=sb)
+
+    def sweep_fn(alb, emi, rsc, rmeta, trips, g):
+        return sweep(alb, emi, rsc, rmeta, trips, g)
+
+    return _build_regen_renderer(scene, cfg, adjoint, trace_fn,
+                                 collect_fn, sweep_fn)
+
+
+def _check_regen_cfg(cfg: RenderConfig, adjoint: str,
+                     tile_rows: int, n_devices: int = 1) -> str:
+    _check_fused_cfg(cfg)
+    if cfg.unbiased:
+        raise ValueError(
+            "the regen renderer is biased-only (stored/replayed keyed "
+            "streams); use the lockstep pallas or xla backend for "
+            "unbiased gradients (integrate.hpp:11-24)")
+    return _resolve_adjoint(cfg, adjoint, n_devices=n_devices,
+                            tile_rows=tile_rows)
+
+
+def _build_regen_renderer(scene: Scene, cfg: RenderConfig, adjoint: str,
+                          trace_fn, collect_fn, sweep_fn):
+    """Regen image-renderer custom VJP, shared by the single-device and
+    sharded factories. Callable contracts (possibly shard_map-wrapped):
+      trace_fn(alb, emi, seeds, sample_base) -> V3[npix]
+      collect_fn(...) -> (V3[npix], rsc, rmeta, trips)
+      sweep_fn(alb, emi, rsc, rmeta, trips, g: V3[npix]) -> (da, de)
+    """
     w, h = cfg.width, cfg.height
     npix = w * h
     spp_c = cfg.spp // cfg.spp_chunks
@@ -1164,8 +1193,7 @@ def make_regen_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
         emi = emission_table(scene, params)
         img = jnp.zeros((h, w, 3), alb.dtype)
         for c in range(cfg.spp_chunks):
-            L, _ = tracer(alb, emi, seeds, sample_base=c * spp_c)
-            img = img + _img(L)
+            img = img + _img(trace_fn(alb, emi, seeds, c * spp_c))
         return img / cfg.spp
 
     def fwd(params, seeds):
@@ -1176,8 +1204,7 @@ def make_regen_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
         img = jnp.zeros((h, w, 3), alb.dtype)
         residuals = []
         for c in range(cfg.spp_chunks):
-            L, rsc, rmeta, trips = collect(alb, emi, seeds,
-                                           sample_base=c * spp_c)
+            L, rsc, rmeta, trips = collect_fn(alb, emi, seeds, c * spp_c)
             residuals.append((rsc, rmeta, trips))
             img = img + _img(L)
         return img / cfg.spp, (params, seeds, tuple(residuals))
@@ -1199,9 +1226,9 @@ def make_regen_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
             if residuals is not None:
                 rsc, rmeta, trips = residuals[c]
             else:
-                _, rsc, rmeta, trips = collect(alb, emi, seeds,
-                                               sample_base=c * spp_c)
-            da_c, de_c = sweep(alb, emi, rsc, rmeta, trips, g_lane)
+                _, rsc, rmeta, trips = collect_fn(alb, emi, seeds,
+                                                  c * spp_c)
+            da_c, de_c = sweep_fn(alb, emi, rsc, rmeta, trips, g_lane)
             da = da + da_c[:k]
             de = de + de_c[:l]
         dparams = Params(albedo=da.astype(params.albedo.dtype),
@@ -1210,3 +1237,85 @@ def make_regen_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
 
     render.defvjp(fwd, bwd)
     return render
+
+
+def make_sharded_regen_image_renderer(scene: Scene, cam: Camera,
+                                      cfg: RenderConfig, mesh,
+                                      tile_rows: int = 8,
+                                      interpret: bool | None = None,
+                                      adjoint: str = "auto",
+                                      fastmath: bool | str = "auto"):
+    """Sharded regen path: the regeneration kernels run per-device under
+    `shard_map`, each shard owning a contiguous slice of the PIXEL index
+    space via `tile_base` (lanes are pixels, so the shard axis is pixels,
+    not rays); parameter-gradient partials are psum'd over the mesh as in
+    make_sharded_fused_image_renderer.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    names = tuple(mesh.axis_names)
+    n_dev = int(np.prod(mesh.devices.shape))
+    npix = cfg.width * cfg.height
+    tile = tile_rows * 128
+    if npix % (n_dev * tile) != 0:
+        raise ValueError(
+            f"pixels ({npix}) must split into whole {tile}-pixel tiles "
+            f"per device over {n_dev} devices; adjust width/height or "
+            "tile_rows")
+    local_n = npix // n_dev
+    local_tiles = local_n // tile
+
+    adjoint = _check_regen_cfg(cfg, adjoint, tile_rows, n_devices=n_dev)
+    fm = _resolve_fastmath(fastmath, "internal")
+    from drt_tpu.ops.regen import make_regen_sweep_adjoint, make_regen_tracer
+    tracer = make_regen_tracer(scene, cam, cfg, tile_rows=tile_rows,
+                               interpret=interpret, fastmath=fm,
+                               n_pix=local_n)
+    collect = make_regen_tracer(scene, cam, cfg, tile_rows=tile_rows,
+                                interpret=interpret, fastmath=fm,
+                                n_pix=local_n, collect=True)
+    sweep = make_regen_sweep_adjoint(scene, cfg, tile_rows=tile_rows,
+                                     interpret=interpret, n_pix=local_n)
+
+    def _dev_index():
+        idx = 0
+        for name in names:
+            idx = idx * jax.lax.axis_size(name) + jax.lax.axis_index(name)
+        return idx
+
+    pix_p = P(names)
+    v3_pix = V3(pix_p, pix_p, pix_p)
+    res_p = P(None, names)
+    trips_p = P(names)
+
+    def _shard_trace(alb, emi, seeds, sb):
+        L, _ = tracer(alb, emi, seeds,
+                      tile_base=_dev_index() * local_tiles,
+                      sample_base=sb)
+        return L
+
+    def _shard_collect(alb, emi, seeds, sb):
+        return collect(alb, emi, seeds,
+                       tile_base=_dev_index() * local_tiles,
+                       sample_base=sb)
+
+    def _shard_sweep(alb, emi, rsc, rmeta, trips, g):
+        da, de = sweep(alb, emi, rsc, rmeta, trips, g)
+        return jax.lax.psum((da, de), names)
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axis
+    # annotation (see make_sharded_fused_image_renderer).
+    trace_fn = shard_map(_shard_trace, mesh=mesh,
+                         in_specs=(P(), P(), P(), P()),
+                         out_specs=v3_pix, check_vma=False)
+    collect_fn = shard_map(_shard_collect, mesh=mesh,
+                           in_specs=(P(), P(), P(), P()),
+                           out_specs=(v3_pix, res_p, res_p, trips_p),
+                           check_vma=False)
+    sweep_fn = shard_map(_shard_sweep, mesh=mesh,
+                         in_specs=(P(), P(), res_p, res_p, trips_p,
+                                   v3_pix),
+                         out_specs=(P(), P()), check_vma=False)
+    return _build_regen_renderer(scene, cfg, adjoint, trace_fn,
+                                 collect_fn, sweep_fn)

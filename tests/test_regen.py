@@ -1,0 +1,170 @@
+"""Path-regeneration kernel tests (ops/regen.py).
+
+Verification chain: the regen kernel's per-sample radiance is pinned
+bit-for-bit to the lockstep tape-mode megakernel fed the identical
+hash-keyed uniforms (which is itself pinned to the XLA wavefront and,
+through it, to the C++ reference by tests/test_golden.py); gradients
+are pinned to jax.grad through the XLA wavefront on the same tapes
+(biased replay == autodiff of the forward estimator,
+reference: include/drt/integrate.hpp:26-37).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drt_tpu.camera import camera_rays, pixel_grid
+from drt_tpu.config import RenderConfig
+from drt_tpu.fused import make_regen_image_renderer
+from drt_tpu.models.cbox import build as build_cbox
+from drt_tpu.ops.megakernel import make_fused_tracer
+from drt_tpu.ops.regen import hash_tapes, hash_uniform, make_regen_tracer
+from drt_tpu.renderer import trace_rays
+from drt_tpu.scene import albedo_table, emission_table
+
+SEEDS = jnp.asarray([12345, 67890], jnp.int32)
+
+
+@pytest.fixture(scope="module")
+def cbox():
+    return build_cbox(dtype=jnp.float32)
+
+
+def _tables(scene, params):
+    return albedo_table(scene, params), emission_table(scene, params)
+
+
+def _img3(L):
+    return np.stack([np.asarray(L.x), np.asarray(L.y), np.asarray(L.z)], -1)
+
+
+def test_hash_uniform_open_interval_and_spread():
+    n = 1 << 14
+    i = jnp.arange(n, dtype=jnp.int32)
+    u = np.asarray(hash_uniform(7, i, i // 64, i % 5, 1, jnp.float32))
+    assert (u > 0.0).all() and (u < 1.0).all()
+    # crude equidistribution: 16 bins within 5 sigma
+    hist, _ = np.histogram(u, bins=16, range=(0.0, 1.0))
+    sigma = np.sqrt(n * (1 / 16) * (15 / 16))
+    assert np.abs(hist - n / 16).max() < 5 * sigma
+
+
+def test_regen_bit_equals_lockstep_tape_kernel_spp1(cbox):
+    scene, params, cam = cbox
+    cfg = RenderConfig(width=40, height=24, spp=1, max_depth=5)
+    alb, emi = _tables(scene, params)
+    npix = cfg.width * cfg.height
+    cam_u, tape = hash_tapes(SEEDS, npix, 1, cfg.max_depth, jnp.float32)
+    lock = make_fused_tracer(scene, cam, cfg, tile_rows=8, rng="tape",
+                             interpret=True)
+    want = _img3(lock(alb, emi, cam_u, tape))
+    trg = make_regen_tracer(scene, cam, cfg, tile_rows=8, interpret=True)
+    L, trips = trg(alb, emi, SEEDS)
+    got = _img3(L)
+    np.testing.assert_array_equal(got, want)
+    assert int(np.asarray(trips).max()) <= cfg.max_depth
+
+
+def test_regen_sum_matches_xla_oracle_spp8(cbox):
+    scene, params, cam = cbox
+    cfg = RenderConfig(width=40, height=24, spp=8, max_depth=5)
+    npix = cfg.width * cfg.height
+    alb, emi = _tables(scene, params)
+    cam_u, tape = hash_tapes(SEEDS, npix, cfg.spp, cfg.max_depth,
+                             jnp.float32)
+    xy = jnp.tile(pixel_grid(cfg.width, cfg.height), (cfg.spp, 1))
+    orig, d, _ = camera_rays(cam, cfg.width, cfg.height, xy, cam_u.T)
+    L = trace_rays(params, scene, orig, d, jax.random.PRNGKey(0), cfg,
+                   tape=tape)
+    per = np.stack([np.asarray(L.x), np.asarray(L.y), np.asarray(L.z)],
+                   -1).reshape(cfg.spp, npix, 3)
+    want = per.sum(0)
+    trg = make_regen_tracer(scene, cam, cfg, tile_rows=8, interpret=True)
+    Lr, trips = trg(alb, emi, SEEDS)
+    got = _img3(Lr)
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-6)
+    assert rel.max() < 1e-5  # in-lane sample accumulation order only
+    # packing: trips must not exceed the worst-case budget
+    assert int(np.asarray(trips).max()) <= cfg.spp * cfg.max_depth
+
+
+@pytest.mark.parametrize("adjoint", ["stored", "retrace"])
+def test_regen_renderer_grads_match_xla_autodiff(cbox, adjoint):
+    scene, params, cam = cbox
+    cfg = RenderConfig(width=40, height=24, spp=8, max_depth=5,
+                       spp_chunks=2)
+    spp_c = cfg.spp // cfg.spp_chunks
+    npix = cfg.width * cfg.height
+    render = make_regen_image_renderer(scene, cam, cfg, tile_rows=8,
+                                       interpret=True, adjoint=adjoint)
+    gw = jax.random.normal(jax.random.PRNGKey(7),
+                           (cfg.height, cfg.width, 3), jnp.float32)
+
+    def loss_regen(p):
+        return (render(p, SEEDS) * gw).sum()
+
+    def loss_oracle(p):
+        img = 0.0
+        for c in range(cfg.spp_chunks):
+            cam_u, tape = hash_tapes(SEEDS, npix, spp_c, cfg.max_depth,
+                                     jnp.float32, sample_base=c * spp_c)
+            xy = jnp.tile(pixel_grid(cfg.width, cfg.height), (spp_c, 1))
+            orig, d, _ = camera_rays(cam, cfg.width, cfg.height, xy,
+                                     cam_u.T)
+            L = trace_rays(p, scene, orig, d, jax.random.PRNGKey(0), cfg,
+                           tape=tape)
+            per = jnp.stack([L.x, L.y, L.z], -1).reshape(spp_c, npix, 3)
+            img = img + per.sum(0)
+        img = (img / cfg.spp).reshape(cfg.height, cfg.width, 3)
+        return (img * gw).sum()
+
+    v_r, g_r = jax.value_and_grad(loss_regen)(params)
+    v_o, g_o = jax.value_and_grad(loss_oracle)(params)
+    assert abs(float(v_r - v_o)) < 1e-4
+    for name in ("albedo", "emission"):
+        a = np.asarray(getattr(g_r, name))
+        b = np.asarray(getattr(g_o, name))
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-12)
+        assert rel < 5e-5, (name, rel)
+
+
+def test_regen_renderer_rejects_unbiased(cbox):
+    scene, _, cam = cbox
+    cfg = RenderConfig(width=8, height=8, spp=2, max_depth=3,
+                       unbiased=True)
+    with pytest.raises(ValueError, match="biased-only"):
+        make_regen_image_renderer(scene, cam, cfg, interpret=True)
+
+
+def test_sharded_regen_matches_single_device(cbox):
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    from drt_tpu.fused import make_sharded_regen_image_renderer
+
+    scene, params, cam = cbox
+    # 128*64 pixels = 8 whole (8*128)-pixel tiles: one per device.
+    cfg = RenderConfig(width=128, height=64, spp=4, max_depth=4)
+    devs = jax.devices("cpu")[:8]
+    mesh = Mesh(_np.asarray(devs), ("tiles",))
+    single = make_regen_image_renderer(scene, cam, cfg, tile_rows=8,
+                                       interpret=True, adjoint="stored")
+    sharded = make_sharded_regen_image_renderer(scene, cam, cfg, mesh,
+                                                tile_rows=8,
+                                                interpret=True,
+                                                adjoint="stored")
+    img_1 = np.asarray(single(params, SEEDS))
+    img_8 = np.asarray(sharded(params, SEEDS))
+    np.testing.assert_array_equal(img_8, img_1)
+
+    def loss(render):
+        return lambda p: (render(p, SEEDS) ** 2).sum()
+
+    g_1 = jax.grad(loss(single))(params)
+    g_8 = jax.grad(loss(sharded))(params)
+    for name in ("albedo", "emission"):
+        a = np.asarray(getattr(g_1, name))
+        b = np.asarray(getattr(g_8, name))
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-12)
+        assert rel < 1e-6, (name, rel)  # psum order only
