@@ -39,13 +39,16 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
                    help="trace in float64 (CPU validation mode)")
     p.add_argument("--backend",
                    choices=("auto", "xla", "pallas", "pallas-dyn",
-                            "pallas-split", "pallas-split-dyn"),
+                            "pallas-split", "pallas-split-dyn",
+                            "pallas-regen"),
                    default="auto",
                    help="auto = fused Pallas megakernels on single-chip "
                         "TPU at moderate depth (scene-baked <= 24 "
                         "shapes, memory-resident 'pallas-dyn' beyond; "
                         "'-split' variants when --bsdf-samples > 1), "
-                        "XLA wavefront otherwise")
+                        "XLA wavefront otherwise; 'pallas-regen' = "
+                        "path-regeneration kernels (lanes refill with "
+                        "the pixel's next sample, hash-keyed RNG)")
     p.add_argument("--unbiased", action="store_true",
                    help="unbiased gradient mode: the backward retraces "
                         "with fresh samples (integrate.hpp:39-52) instead "

@@ -136,6 +136,28 @@ def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
             return fused(params, seeds_from_key(key))
 
         return jax.jit(render)
+    if backend == "pallas-regen":
+        if mesh is not None:
+            raise ValueError("pallas-regen is single-chip; use "
+                             "pallas-regen-sharded for meshes")
+        from drt_tpu.fused import make_regen_image_renderer, seeds_from_key
+        fused = make_regen_image_renderer(scene, cam, cfg)
+
+        def render(params: Params, key) -> jnp.ndarray:
+            return fused(params, seeds_from_key(key))
+
+        return jax.jit(render)
+    if backend == "pallas-regen-sharded":
+        if mesh is None:
+            raise ValueError("pallas-regen-sharded requires a mesh")
+        from drt_tpu.fused import (make_sharded_regen_image_renderer,
+                                   seeds_from_key)
+        fused = make_sharded_regen_image_renderer(scene, cam, cfg, mesh)
+
+        def render(params: Params, key) -> jnp.ndarray:
+            return fused(params, seeds_from_key(key))
+
+        return jax.jit(render)
     if backend in ("pallas", "pallas-dyn"):
         if mesh is not None:
             raise ValueError(f"{backend} backend is single-chip; use "
