@@ -40,7 +40,7 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--backend",
                    choices=("auto", "xla", "pallas", "pallas-dyn",
                             "pallas-split", "pallas-split-dyn",
-                            "pallas-regen"),
+                            "pallas-regen", "pallas-dyn-regen"),
                    default="auto",
                    help="auto = fused Pallas megakernels on single-chip "
                         "TPU at moderate depth (scene-baked <= 24 "

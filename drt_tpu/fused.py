@@ -1319,3 +1319,126 @@ def make_sharded_regen_image_renderer(scene: Scene, cam: Camera,
                          out_specs=(P(), P()), check_vma=False)
     return _build_regen_renderer(scene, cfg, adjoint, trace_fn,
                                  collect_fn, sweep_fn)
+
+
+def make_dyn_regen_image_renderer(scene: Scene, cam: Camera,
+                                  cfg: RenderConfig,
+                                  tile_rows: int = 8,
+                                  interpret: bool | None = None,
+                                  adjoint: str = "auto",
+                                  unroll_shapes: int = 16,
+                                  fastmath: bool | str = "auto"):
+    """Regeneration renderer over a MEMORY-RESIDENT scene
+    (ops/dynregen.py): make_regen_image_renderer's contract for scenes
+    past the baked kernels' unroll budget (triangle meshes)."""
+    from drt_tpu.ops.dynkernel import DynScene
+    from drt_tpu.ops.dynregen import (make_dyn_regen_sweep_adjoint,
+                                      make_dyn_regen_tracer)
+
+    adjoint = _check_regen_cfg(cfg, adjoint, tile_rows)
+    fm = _resolve_fastmath(fastmath, "internal")
+    ds = DynScene.of(scene)
+    scene = ds.scene
+    scn = ds.operands
+    kw = dict(tile_rows=tile_rows, interpret=interpret, fastmath=fm,
+              unroll_shapes=unroll_shapes)
+    tracer = make_dyn_regen_tracer(ds, cam, cfg, **kw)
+    collect = make_dyn_regen_tracer(ds, cam, cfg, collect=True, **kw)
+    sweep = make_dyn_regen_sweep_adjoint(ds, cfg, tile_rows=tile_rows,
+                                         interpret=interpret)
+
+    def trace_fn(alb, emi, seeds, sb):
+        L, _ = tracer(alb, emi, scn, seeds, sample_base=sb)
+        return L
+
+    def collect_fn(alb, emi, seeds, sb):
+        return collect(alb, emi, scn, seeds, sample_base=sb)
+
+    def sweep_fn(alb, emi, rsc, rrow, trips, g):
+        return sweep(alb, emi, rsc, rrow, trips, g)
+
+    return _build_regen_renderer(scene, cfg, adjoint, trace_fn,
+                                 collect_fn, sweep_fn)
+
+
+def make_sharded_dyn_regen_image_renderer(scene: Scene, cam: Camera,
+                                          cfg: RenderConfig, mesh,
+                                          tile_rows: int = 8,
+                                          interpret: bool | None = None,
+                                          adjoint: str = "auto",
+                                          unroll_shapes: int = 16,
+                                          fastmath: bool | str = "auto"):
+    """Sharded dyn-regen path: pixels sharded by tile_base, scene
+    operands replicated, grad partials psum'd (contract of
+    make_sharded_regen_image_renderer over the dyn kernels)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from drt_tpu.ops.dynkernel import DynScene
+    from drt_tpu.ops.dynregen import (make_dyn_regen_sweep_adjoint,
+                                      make_dyn_regen_tracer)
+
+    names = tuple(mesh.axis_names)
+    n_dev = int(np.prod(mesh.devices.shape))
+    npix = cfg.width * cfg.height
+    tile = tile_rows * 128
+    if npix % (n_dev * tile) != 0:
+        raise ValueError(
+            f"pixels ({npix}) must split into whole {tile}-pixel tiles "
+            f"per device over {n_dev} devices; adjust width/height or "
+            "tile_rows")
+    local_n = npix // n_dev
+    local_tiles = local_n // tile
+
+    adjoint = _check_regen_cfg(cfg, adjoint, tile_rows, n_devices=n_dev)
+    fm = _resolve_fastmath(fastmath, "internal")
+    ds = DynScene.of(scene)
+    scene = ds.scene
+    scn = ds.operands
+    kw = dict(tile_rows=tile_rows, interpret=interpret, fastmath=fm,
+              unroll_shapes=unroll_shapes, n_pix=local_n)
+    tracer = make_dyn_regen_tracer(ds, cam, cfg, **kw)
+    collect = make_dyn_regen_tracer(ds, cam, cfg, collect=True, **kw)
+    sweep = make_dyn_regen_sweep_adjoint(ds, cfg, tile_rows=tile_rows,
+                                         interpret=interpret,
+                                         n_pix=local_n)
+
+    def _dev_index():
+        idx = 0
+        for name in names:
+            idx = idx * jax.lax.axis_size(name) + jax.lax.axis_index(name)
+        return idx
+
+    pix_p = P(names)
+    v3_pix = V3(pix_p, pix_p, pix_p)
+    res_p = P(None, names)
+    trips_p = P(names)
+
+    def _shard_trace(alb, emi, seeds, sb):
+        L, _ = tracer(alb, emi, scn, seeds,
+                      tile_base=_dev_index() * local_tiles,
+                      sample_base=sb)
+        return L
+
+    def _shard_collect(alb, emi, seeds, sb):
+        return collect(alb, emi, scn, seeds,
+                       tile_base=_dev_index() * local_tiles,
+                       sample_base=sb)
+
+    def _shard_sweep(alb, emi, rsc, rrow, trips, g):
+        da, de = sweep(alb, emi, rsc, rrow, trips, g)
+        return jax.lax.psum((da, de), names)
+
+    trace_fn = shard_map(_shard_trace, mesh=mesh,
+                         in_specs=(P(), P(), P(), P()),
+                         out_specs=v3_pix, check_vma=False)
+    collect_fn = shard_map(_shard_collect, mesh=mesh,
+                           in_specs=(P(), P(), P(), P()),
+                           out_specs=(v3_pix, res_p, res_p, trips_p),
+                           check_vma=False)
+    sweep_fn = shard_map(_shard_sweep, mesh=mesh,
+                         in_specs=(P(), P(), res_p, res_p, trips_p,
+                                   v3_pix),
+                         out_specs=(P(), P()), check_vma=False)
+    return _build_regen_renderer(scene, cfg, adjoint, trace_fn,
+                                 collect_fn, sweep_fn)

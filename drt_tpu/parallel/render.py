@@ -136,23 +136,31 @@ def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
             return fused(params, seeds_from_key(key))
 
         return jax.jit(render)
-    if backend == "pallas-regen":
+    if backend in ("pallas-regen", "pallas-dyn-regen"):
         if mesh is not None:
-            raise ValueError("pallas-regen is single-chip; use "
-                             "pallas-regen-sharded for meshes")
-        from drt_tpu.fused import make_regen_image_renderer, seeds_from_key
-        fused = make_regen_image_renderer(scene, cam, cfg)
+            raise ValueError(f"{backend} is single-chip; use "
+                             f"{backend}-sharded for meshes")
+        from drt_tpu.fused import (make_dyn_regen_image_renderer,
+                                   make_regen_image_renderer,
+                                   seeds_from_key)
+        make = (make_regen_image_renderer if backend == "pallas-regen"
+                else make_dyn_regen_image_renderer)
+        fused = make(scene, cam, cfg)
 
         def render(params: Params, key) -> jnp.ndarray:
             return fused(params, seeds_from_key(key))
 
         return jax.jit(render)
-    if backend == "pallas-regen-sharded":
+    if backend in ("pallas-regen-sharded", "pallas-dyn-regen-sharded"):
         if mesh is None:
-            raise ValueError("pallas-regen-sharded requires a mesh")
-        from drt_tpu.fused import (make_sharded_regen_image_renderer,
+            raise ValueError(f"{backend} requires a mesh")
+        from drt_tpu.fused import (make_sharded_dyn_regen_image_renderer,
+                                   make_sharded_regen_image_renderer,
                                    seeds_from_key)
-        fused = make_sharded_regen_image_renderer(scene, cam, cfg, mesh)
+        make = (make_sharded_regen_image_renderer
+                if backend == "pallas-regen-sharded"
+                else make_sharded_dyn_regen_image_renderer)
+        fused = make(scene, cam, cfg, mesh)
 
         def render(params: Params, key) -> jnp.ndarray:
             return fused(params, seeds_from_key(key))

@@ -128,3 +128,24 @@ def test_tpu_mesh_whole_tiles_picks_sharded(tpu_backend, cbox_scene):
     cfg_ragged = RenderConfig(width=100, height=99, spp=1, max_depth=5)
     assert prender.resolve_backend(cbox_scene, cfg_ragged, mesh,
                                    "auto") == "xla"
+
+
+def test_explicit_regen_backend_passthrough(cbox_scene):
+    """Explicit regen backends resolve unchanged and make_renderer wires
+    them (single-chip only; mesh requires the -sharded variant)."""
+    cfg = RenderConfig(width=128, height=64, spp=2, max_depth=3)
+    assert prender.resolve_backend(cbox_scene, cfg, None,
+                                   "pallas-regen") == "pallas-regen"
+    from drt_tpu.models import cbox as cbox_model
+
+    scene, params, cam = cbox_model.build()
+    render = prender.make_renderer(scene, cfg, cam,
+                                   backend="pallas-regen")
+    assert callable(render)
+    mesh = make_mesh(shape=(len(jax.devices()), 1))
+    with pytest.raises(ValueError, match="single-chip"):
+        prender.make_renderer(scene, cfg, cam, mesh=mesh,
+                              backend="pallas-regen")
+    with pytest.raises(ValueError, match="requires a mesh"):
+        prender.make_renderer(scene, cfg, cam,
+                              backend="pallas-regen-sharded")

@@ -68,7 +68,7 @@ def test_regen_bit_equals_lockstep_tape_kernel_spp1(cbox):
 
 def test_regen_sum_matches_xla_oracle_spp8(cbox):
     scene, params, cam = cbox
-    cfg = RenderConfig(width=40, height=24, spp=8, max_depth=5)
+    cfg = RenderConfig(width=32, height=16, spp=6, max_depth=5)
     npix = cfg.width * cfg.height
     alb, emi = _tables(scene, params)
     cam_u, tape = hash_tapes(SEEDS, npix, cfg.spp, cfg.max_depth,
@@ -92,7 +92,7 @@ def test_regen_sum_matches_xla_oracle_spp8(cbox):
 @pytest.mark.parametrize("adjoint", ["stored", "retrace"])
 def test_regen_renderer_grads_match_xla_autodiff(cbox, adjoint):
     scene, params, cam = cbox
-    cfg = RenderConfig(width=40, height=24, spp=8, max_depth=5,
+    cfg = RenderConfig(width=24, height=16, spp=4, max_depth=4,
                        spp_chunks=2)
     spp_c = cfg.spp // cfg.spp_chunks
     npix = cfg.width * cfg.height

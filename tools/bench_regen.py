@@ -63,9 +63,13 @@ def main():
     if not args.skip_lockstep:
         render = make_fused_image_renderer(scene, cam, cfg, fastmath=True)
         fwd = jax.jit(render)
+        fwdbwd = jax.jit(lambda p, s: jax.value_and_grad(
+            lambda pp: render(pp, s).sum())(p))
         tf, tf_med = time_best(fwd, params, seeds)
         out["lockstep_fwd_mrays_s"] = round(n_rays / tf / 1e6, 1)
         out["lockstep_fwd_mrays_s_median"] = round(n_rays / tf_med / 1e6, 1)
+        tb, _ = time_best(fwdbwd, params, seeds)
+        out["lockstep_fwdbwd_mrays_s"] = round(n_rays / tb / 1e6, 1)
         ref_img = np.asarray(fwd(params, seeds))
         print(json.dumps(out), flush=True)
 
@@ -111,6 +115,27 @@ def main():
             out[f"regen_tr{tr}_px_rel_rms"] = float(
                 np.sqrt(((img_r - ref_img) ** 2).mean())
                 / max(ref_img.std(), 1e-9))
+        print(json.dumps(out), flush=True)
+
+        # fwd+bwd through the regen image renderer (stored sweep)
+        from drt_tpu.fused import make_regen_image_renderer
+
+        try:
+            render_r = make_regen_image_renderer(scene, cam, cfg,
+                                                 tile_rows=tr)
+            fwdbwd_r = jax.jit(lambda p, s: jax.value_and_grad(
+                lambda pp: render_r(pp, s).sum())(p))
+            v, g = jax.block_until_ready(fwdbwd_r(params, seeds))
+            tb, tb_med = time_best(fwdbwd_r, params, seeds)
+            out[f"regen_tr{tr}_fwdbwd_mrays_s"] = round(n_rays / tb / 1e6,
+                                                        1)
+            out[f"regen_tr{tr}_fwdbwd_mrays_s_median"] = round(
+                n_rays / tb_med / 1e6, 1)
+            out[f"regen_tr{tr}_grads_finite"] = bool(
+                np.isfinite(np.asarray(g.albedo)).all()
+                and np.isfinite(np.asarray(g.emission)).all())
+        except Exception as e:  # noqa: BLE001
+            out[f"regen_tr{tr}_fwdbwd_error"] = repr(e)[:300]
         print(json.dumps(out), flush=True)
 
     print(json.dumps(out, indent=1))
