@@ -211,6 +211,20 @@ def measure_extra_configs(on_tpu: bool) -> dict:
     jax.block_until_ready(state)
     dt4 = time.perf_counter() - t0
     out["invert_steps_per_s"] = round((steps - 1) / dt4, 2)
+    # Production form (cli invert default): K steps per dispatch via the
+    # scanned block — bit-equal stream, ~K× fewer host dispatches.
+    from drt_tpu.optim import make_train_block
+    block_fn = make_train_block(scene, cfg4, cam, target, opt)
+    bstate = init_state(init, opt)
+    bstate, _ = block_fn(bstate, jax.random.key(0), 8)  # compile
+    jax.block_until_ready(bstate)
+    t0 = time.perf_counter()
+    for _ in range((steps - 1) // 8):
+        bstate, _ = block_fn(bstate, jax.random.key(0), 8)
+    jax.block_until_ready(bstate)
+    dt4b = time.perf_counter() - t0
+    out["invert_steps_per_s_blocked8"] = round(
+        ((steps - 1) // 8) * 8 / dt4b, 2)
     out["invert_albedo_max_err"] = float(
         np.abs(np.asarray(state.params.albedo)
                - np.asarray(params.albedo)).max())
@@ -260,6 +274,92 @@ def measure_extra_configs(on_tpu: bool) -> dict:
     return out
 
 
+def measure_backend_legs() -> dict:
+    """Per-backend fwd / fwd+bwd (min + median Mrays/s) in ONE artifact
+    (VERDICT r3 #7 — the round-3 outage showed scattered tool-run
+    numbers don't survive; BENCH_r*.json alone should tell the whole
+    per-backend story). Each leg is failure-isolated: a leg that cannot
+    build/run records its error string instead of killing the headline.
+
+    Legs (TPU only; the headline fused/baked + dyn-mesh87 legs live in
+    measure_ours/measure_extra_configs):
+      regen        — path-regeneration kernels, cbox headline config.
+      dyn_regen    — regen over the memory-resident 87-shape mesh.
+      mesh1280     — 1287-shape icosphere level 3, dyn kernels with
+                     cluster culling (default DynScene policy).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from drt_tpu.config import RenderConfig
+    from drt_tpu.fused import (make_dyn_image_renderer,
+                               make_dyn_regen_image_renderer,
+                               make_regen_image_renderer, seeds_from_key)
+    from drt_tpu.models import cbox, gallery
+
+    legs = {}
+    seeds = seeds_from_key(jax.random.key(0))
+
+    def time_reps(fn, *args, reps=5):
+        fn(*args)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[0], ts[len(ts) // 2]
+
+    def leg(tag, make, params, n_rays, reps=5):
+        try:
+            render = make()
+
+            @jax.jit
+            def fwd(p, s):
+                return render(p, s)
+
+            @jax.jit
+            def fwdbwd(p, s):
+                return jax.value_and_grad(lambda pp: render(pp, s).sum())(p)
+
+            t_f, t_f_med = time_reps(fwd, params, seeds, reps=reps)
+            t_b, t_b_med = time_reps(fwdbwd, params, seeds, reps=reps)
+            legs[tag] = {
+                "fwd_mrays_s": round(n_rays / t_f / 1e6, 2),
+                "fwd_mrays_s_median": round(n_rays / t_f_med / 1e6, 2),
+                "fwdbwd_mrays_s": round(n_rays / t_b / 1e6, 2),
+                "fwdbwd_mrays_s_median": round(n_rays / t_b_med / 1e6, 2),
+            }
+        except Exception as e:  # noqa: BLE001 — isolate per leg
+            legs[tag] = {"error": f"{type(e).__name__}: {e}"}
+
+    scene, params, cam = cbox.build(dtype=jnp.float32)
+    cfg_h = RenderConfig(width=WIDTH, height=HEIGHT, spp=SPP,
+                         min_bounces=MIN_BOUNCES, absorb_prob=ABSORB,
+                         max_depth=MAX_DEPTH, spp_chunks=16)
+    leg("regen", lambda: make_regen_image_renderer(scene, cam, cfg_h),
+        params, WIDTH * HEIGHT * SPP)
+
+    scene_m, params_m, cam_m = gallery.build_mesh(level=1,
+                                                  dtype=jnp.float32)
+    cfg_m = RenderConfig(width=WIDTH, height=HEIGHT, spp=64,
+                         max_depth=MAX_DEPTH, min_bounces=MIN_BOUNCES,
+                         absorb_prob=ABSORB, spp_chunks=4)
+    leg("dyn_regen",
+        lambda: make_dyn_regen_image_renderer(scene_m, cam_m, cfg_m),
+        params_m, WIDTH * HEIGHT * 64)
+
+    scene_l3, params_l3, cam_l3 = gallery.build_mesh(level=3,
+                                                     dtype=jnp.float32)
+    cfg_l3 = RenderConfig(width=WIDTH, height=HEIGHT, spp=16,
+                          max_depth=MAX_DEPTH, min_bounces=MIN_BOUNCES,
+                          absorb_prob=ABSORB, spp_chunks=2)
+    leg("mesh1280",
+        lambda: make_dyn_image_renderer(scene_l3, cam_l3, cfg_l3),
+        params_l3, WIDTH * HEIGHT * 16, reps=3)
+    return legs
+
+
 def measure_reference() -> float | None:
     """Reference fwd+bwd throughput in Mrays/s (camera samples), or None.
 
@@ -284,8 +384,11 @@ def measure_reference() -> float | None:
 def main() -> None:
     import jax
 
+    on_tpu = jax.default_backend() == "tpu"
     ours = measure_ours()
-    extra = measure_extra_configs(jax.default_backend() == "tpu")
+    extra = measure_extra_configs(on_tpu)
+    if on_tpu:
+        extra["backends"] = measure_backend_legs()
     ref = measure_reference()
     vs = (ours["fwdbwd_mrays_s"] / ref) if ref else None
     print(json.dumps({

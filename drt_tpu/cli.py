@@ -216,7 +216,8 @@ def cmd_invert(args) -> int:
         steps=args.steps, learning_rate=args.lr,
         log_every=args.log_every, backend=args.backend,
         checkpoint_dir=args.checkpoint_dir,
-        metrics_jsonl=args.metrics_jsonl)
+        metrics_jsonl=args.metrics_jsonl,
+        steps_per_call=args.steps_per_call)
     out = {
         "true_albedo": np.asarray(params.albedo).tolist(),
         "recovered_albedo": np.asarray(recovered.albedo).tolist(),
@@ -260,6 +261,9 @@ def main(argv=None) -> int:
                     help="orbax checkpoint dir; resumes if it has one")
     pi.add_argument("--metrics-jsonl", default=None,
                     help="stream per-step metrics to this JSONL file")
+    pi.add_argument("--steps-per-call", type=int, default=8,
+                    help="optimizer steps per device dispatch (lax.scan "
+                         "block; bit-equal to 1 — same fold_in stream)")
     pi.set_defaults(fn=cmd_invert)
 
     args = parser.parse_args(argv)

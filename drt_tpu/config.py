@@ -12,12 +12,18 @@ from __future__ import annotations
 
 import dataclasses
 
-# Hard cap on the total leaf-lane count a splitting config may demand
-# (lanes = rays * bsdf_samples**(max_depth-1)); ~134M lanes is ~8.6 GB
-# of wavefront carry at f32 — the practical single-chip ceiling. The
-# tree estimator is exponential in depth BY DESIGN (the reference's
+# Hard HBM budget for a splitting config's per-chunk materialization:
+# the wavefront carry (~64 B/lane: o, d, beta, pixel ids, RNG state at
+# f32) PLUS the prefix tape fused split kernels stage in HBM
+# (split_prefix_tape: max_depth x 3 uniforms per lane = 12*max_depth
+# B/lane — at depth 32 the tape, not the carry, dominates). The tree
+# estimator is exponential in depth BY DESIGN (the reference's
 # integrate n_samples recursion, include/drt/integrate.hpp:56-66);
 # this guard turns a silent multi-TB OOM into a config error.
+MAX_SPLIT_BYTES = 1 << 33  # ~8.6 GB — the practical single-chip ceiling
+# Back-compat alias: the legacy lane cap (2^27 lanes at the 64 B/lane
+# carry cost equals MAX_SPLIT_BYTES); the byte budget above is what the
+# validator actually enforces since it also counts the prefix tape.
 MAX_SPLIT_LANES = 1 << 27
 
 
@@ -96,12 +102,17 @@ class RenderConfig:
             lanes_per_ray = self.bsdf_samples ** (self.max_depth - 1)
             rays = self.width * self.height * (self.spp // self.spp_chunks)
             total = rays * lanes_per_ray
-            if total > MAX_SPLIT_LANES:
+            # 64 B/lane wavefront carry + the HBM prefix tape the fused
+            # split path materializes (fused.split_prefix_tape:
+            # f32[max_depth, 3, lanes] = 12*max_depth B/lane).
+            bytes_per_lane = 64 + 12 * self.max_depth
+            if total * bytes_per_lane > MAX_SPLIT_BYTES:
                 raise ValueError(
                     f"bsdf_samples={self.bsdf_samples} at max_depth="
                     f"{self.max_depth} expands each of the {rays} rays "
                     f"per chunk into bsdf_samples**(max_depth-1) = "
-                    f"{lanes_per_ray} leaf lanes ({total:.3g} total > "
-                    f"budget {MAX_SPLIT_LANES}); lower max_depth / "
+                    f"{lanes_per_ray} leaf lanes ({total:.3g} total; "
+                    f"{total * bytes_per_lane:.3g} B of carry+prefix-tape "
+                    f"> budget {MAX_SPLIT_BYTES} B); lower max_depth / "
                     "bsdf_samples / resolution / spp, or raise "
                     "spp_chunks")

@@ -55,6 +55,24 @@ from drt_tpu.scene import DIFFUSE, MIRROR, PLANE, SPECULAR, SPHERE, Scene
 LANES = 128
 _TRI_DET_EPS = 1e-9  # matches drt_tpu/ops/intersect.py
 
+# Per-spp-chunk seed strides (distinct odd constants; i32 wrap is fine).
+# Chunk c's streams are seeded with (seeds[0] + CAM_CHUNK_STRIDE * c,
+# seeds[1] + BOUNCE_CHUNK_STRIDE * c) — identical whether the chunks run
+# as separate launches (fused.py host loop) or as the minor grid
+# dimension of ONE kernel (n_chunks > 1 below), so the two forms are
+# bit-equal per ray.
+CAM_CHUNK_STRIDE = np.int32(-1640531527)  # 0x9E3779B9 as signed
+BOUNCE_CHUNK_STRIDE = np.int32(40503)
+
+
+def _chunk_seed_pair(seed_ref, c, n_chunks: int):
+    """The (cam, bounce) seed words for chunk c read from the i32[2]
+    SMEM seeds — in-kernel mirror of fused._chunk_seeds."""
+    if n_chunks == 1:
+        return seed_ref[0], seed_ref[1]
+    return (seed_ref[0] + CAM_CHUNK_STRIDE * c,
+            seed_ref[1] + BOUNCE_CHUNK_STRIDE * c)
+
 
 class StaticScene:
     """Scene arrays frozen to Python/numpy literals for kernel baking."""
@@ -620,14 +638,18 @@ def _reverse_sweep(ss: StaticScene, alb_ref, emis_ref, g: V3, scratch,
     return S, da_acc, de_acc
 
 
-def _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype):
+def _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype,
+                          first=None):
     """Zero-init the SMEM accumulators on the first grid step, then add
-    this tile's partials (SMEM takes scalar stores only)."""
+    this tile's partials (SMEM takes scalar stores only). `first` is the
+    first-grid-step predicate for kernels with extra grid dimensions
+    (default: program_id(0) == 0)."""
     n_alb = da_ref.shape[0]
     n_emit = de_ref.shape[0]
-    i = pl.program_id(0)
+    if first is None:
+        first = pl.program_id(0) == 0
 
-    @pl.when(i == 0)
+    @pl.when(first)
     def _init():
         for k in range(n_alb):
             for c in range(3):
@@ -819,7 +841,8 @@ def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,
                       tile_rows: int = 32, rng: str = "internal",
                       interpret: bool | None = None,
                       n_rays: int | None = None,
-                      fastmath: bool = False):
+                      fastmath: bool = False,
+                      n_chunks: int = 1):
     """Build the fully-fused forward pass: camera ray generation, uniform
     sampling, and the whole wavefront loop in ONE kernel — per-ray HBM
     traffic is just the radiance write.
@@ -847,14 +870,15 @@ def make_fused_tracer(scene: Scene, cam, cfg: RenderConfig,
     return make_fused_segment_tracer(scene, cam, cfg, 0, cfg.max_depth,
                                      n_rays=n_rays, tile_rows=tile_rows,
                                      rng=rng, interpret=interpret,
-                                     fastmath=fastmath)
+                                     fastmath=fastmath, n_chunks=n_chunks)
 
 
 def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
                        tile_rows: int = 32, rng: str = "internal",
                        interpret: bool | None = None,
                        n_rays: int | None = None,
-                       fastmath: bool = False):
+                       fastmath: bool = False,
+                       n_chunks: int = 1):
     """Fused radiative-backprop adjoint for the fused tracer: regenerate
     the primary rays and uniforms in-kernel, retrace collecting residuals
     in VMEM scratch, reverse-sweep, and accumulate parameter-grad partials
@@ -872,7 +896,7 @@ def make_fused_adjoint(scene: Scene, cam, cfg: RenderConfig,
     seg = make_fused_segment_adjoint(scene, cam, cfg, 0, cfg.max_depth,
                                      n_rays=n_rays, tile_rows=tile_rows,
                                      rng=rng, interpret=interpret,
-                                     fastmath=fastmath)
+                                     fastmath=fastmath, n_chunks=n_chunks)
     if rng == "internal":
         def adjoint(albedo_tab, emission_tab, seeds, g: V3, tile_base=0):
             return seg(albedo_tab, emission_tab, seeds, g.x, g.y, g.z,
@@ -982,9 +1006,17 @@ def make_pallas_adjoint(scene: Scene, cfg: RenderConfig, tile_rows: int = 32,
 # S at entry, which seeds the earlier segment's reverse sweep.
 # ---------------------------------------------------------------------------
 
-def _seg_spec_helpers(tile_rows):
+def _seg_spec_helpers(tile_rows, n_chunks: int = 1):
+    """Block specs for per-ray tiles. With n_chunks > 1 the grid is
+    (tiles, chunks) — chunk minor, so a ray tile's output block is
+    revisited on consecutive grid steps (stays VMEM-resident) while the
+    kernel accumulates the per-chunk radiance into it."""
     tile = (tile_rows, LANES)
-    ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if n_chunks == 1:
+        idx = lambda i: (i, 0)
+    else:
+        idx = lambda i, c: (i, 0)
+    ray_spec = pl.BlockSpec(tile, idx, memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     return tile, ray_spec, smem
 
@@ -994,7 +1026,8 @@ def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
                               n_rays: int | None = None,
                               tile_rows: int = 32, rng: str = "internal",
                               interpret: bool | None = None,
-                              fastmath: bool = False):
+                              fastmath: bool = False,
+                              n_chunks: int = 1):
     """Forward kernel for bounces [b_start, b_end) of the wavefront.
 
     b_start == 0 generates camera rays in-kernel; otherwise the segment
@@ -1007,6 +1040,13 @@ def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
       segments draw independent, replayable streams.
     tape rng: `trace(alb, emi, [cam_u,] u, [state...], tile_base=0)` with
       u: f[b_end - b_start, 3, n].
+
+    n_chunks > 1 (full-depth internal rng only) folds the spp-chunk loop
+    into the kernel grid — grid (tiles, chunks), chunk minor — and the
+    returned radiance is the per-ray-slot SUM over chunks (the chunk
+    streams are seeded exactly as fused._chunk_seeds, so per-chunk
+    radiance is bit-equal to n_chunks separate launches): ONE kernel
+    dispatch per forward step instead of spp_chunks (VERDICT r3 #2a).
     """
     ss = StaticScene(scene)
     sc = StaticCamera(cam, cfg.width, cfg.height)
@@ -1018,11 +1058,13 @@ def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
     final = b_end == cfg.max_depth
     seg_len = b_end - b_start
     assert 0 < seg_len and b_end <= cfg.max_depth
+    assert n_chunks == 1 or (entry_cam and final and rng == "internal"), \
+        "chunk-grid tracing is full-depth internal-RNG only"
     spp_c = cfg.spp // cfg.spp_chunks
     n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays
     rows, padded = _pad_rows(n, tile_rows)
     grid = rows // tile_rows
-    tile, ray_spec, smem = _seg_spec_helpers(tile_rows)
+    tile, ray_spec, smem = _seg_spec_helpers(tile_rows, n_chunks)
 
     n_state_in = 0 if entry_cam else 10
     n_out = 3 if final else 13
@@ -1043,16 +1085,18 @@ def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
         dtype = out_refs[0].dtype.type
         i = pl.program_id(0)
         gi = tb_ref[0] + i
+        ck = pl.program_id(1) if n_chunks > 1 else 0
 
         if rng == "internal":
+            seed0, seed1 = _chunk_seed_pair(seed_ref, ck, n_chunks)
             if entry_cam:
-                pltpu.prng_seed(seed_ref[0], gi)
+                pltpu.prng_seed(seed0, gi)
                 cam_u = _uniform_from_bits((2, tile_rows, LANES), dtype)
             # Mosaic's prng_seed takes at most 2 values; fold the
             # segment offset into the seed word (mod 2^32, signed).
             _v = (0x6A09E667 * b_start) & 0xFFFFFFFF
             salt = np.int32(_v - (1 << 32) if _v >= (1 << 31) else _v)
-            pltpu.prng_seed(seed_ref[1] + salt, gi)
+            pltpu.prng_seed(seed1 + salt, gi)
             u = _uniform_from_bits((seg_len, 3, tile_rows, LANES), dtype)
 
             def get_u(lb):
@@ -1083,9 +1127,24 @@ def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
             ss, cfg, alb_ref, emis_ref, o, d, get_u, dtype,
             b_start=b_start, b_end=b_end, T=T, alive=alive,
             full_output=True, fastmath=fastmath)
-        out_refs[0][...] = L.x
-        out_refs[1][...] = L.y
-        out_refs[2][...] = L.z
+        if n_chunks > 1:
+            # The output ray tile is revisited across the minor chunk
+            # grid dim: initialize on the first chunk, accumulate after.
+            @pl.when(ck == 0)
+            def _init():
+                out_refs[0][...] = L.x
+                out_refs[1][...] = L.y
+                out_refs[2][...] = L.z
+
+            @pl.when(ck != 0)
+            def _acc():
+                out_refs[0][...] = out_refs[0][...] + L.x
+                out_refs[1][...] = out_refs[1][...] + L.y
+                out_refs[2][...] = out_refs[2][...] + L.z
+        else:
+            out_refs[0][...] = L.x
+            out_refs[1][...] = L.y
+            out_refs[2][...] = L.z
         if not final:
             for ref, val in zip(out_refs[3:12],
                                 (o2.x, o2.y, o2.z, d2.x, d2.y, d2.z,
@@ -1134,7 +1193,7 @@ def make_fused_segment_tracer(scene: Scene, cam, cfg: RenderConfig,
                      + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)])
         out = pl.pallas_call(
             kernel,
-            grid=(grid,),
+            grid=(grid,) if n_chunks == 1 else (grid, n_chunks),
             in_specs=in_specs,
             out_specs=[ray_spec] * n_out,
             out_shape=out_shape,
@@ -1153,7 +1212,8 @@ def make_fused_collect_tracer(scene: Scene, cam, cfg: RenderConfig,
                               tile_rows: int = 32, rng: str = "internal",
                               interpret: bool | None = None,
                               n_rays: int | None = None,
-                              fastmath: bool = False):
+                              fastmath: bool = False,
+                              n_chunks: int = 1):
     """Full-depth fused forward tracer that ALSO writes the per-bounce
     adjoint residuals `(sc, best)` to HBM — the memory side of the
     store-vs-retrace tradeoff for radiative backprop.
@@ -1171,6 +1231,11 @@ def make_fused_collect_tracer(scene: Scene, cam, cfg: RenderConfig,
     Returns `trace(alb, emi, seeds | (cam_u, u), tile_base=0) ->
     (L: V3[n], rsc: f[D, n], rbest: i32[D, n])`; L is computed by the
     identical op sequence as make_fused_tracer (bit-equal radiance).
+
+    n_chunks > 1 (internal rng only) folds the spp-chunk loop into the
+    grid as in make_fused_segment_tracer: L becomes the per-slot SUM
+    over chunks and the residuals gain a leading chunk dim
+    (rsc: f[n_chunks, D, n], rbest: i32[n_chunks, D, n]).
     """
     ss = StaticScene(scene)
     sc = StaticCamera(cam, cfg.width, cfg.height)
@@ -1178,14 +1243,22 @@ def make_fused_collect_tracer(scene: Scene, cam, cfg: RenderConfig,
         interpret = jax.default_backend() != "tpu"
     if interpret is True and rng == "internal":
         interpret = pltpu.InterpretParams()
+    assert n_chunks == 1 or rng == "internal", \
+        "chunk-grid collection is internal-RNG only"
     D = cfg.max_depth
     spp_c = cfg.spp // cfg.spp_chunks
     n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays
     rows, padded = _pad_rows(n, tile_rows)
     grid = rows // tile_rows
-    tile, ray_spec, smem = _seg_spec_helpers(tile_rows)
-    res_spec = pl.BlockSpec((D, tile_rows, LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
+    tile, ray_spec, smem = _seg_spec_helpers(tile_rows, n_chunks)
+    if n_chunks == 1:
+        res_spec = pl.BlockSpec((D, tile_rows, LANES),
+                                lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        res_spec = pl.BlockSpec((1, D, tile_rows, LANES),
+                                lambda i, c: (c, 0, i, 0),
+                                memory_space=pltpu.VMEM)
 
     def kernel(*refs):
         it = iter(refs)
@@ -1201,11 +1274,13 @@ def make_fused_collect_tracer(scene: Scene, cam, cfg: RenderConfig,
         dtype = lx.dtype.type
         i = pl.program_id(0)
         gi = tb_ref[0] + i
+        ck = pl.program_id(1) if n_chunks > 1 else 0
 
         if rng == "internal":
-            pltpu.prng_seed(seed_ref[0], gi)
+            seed0, seed1 = _chunk_seed_pair(seed_ref, ck, n_chunks)
+            pltpu.prng_seed(seed0, gi)
             cam_u = _uniform_from_bits((2, tile_rows, LANES), dtype)
-            pltpu.prng_seed(seed_ref[1], gi)
+            pltpu.prng_seed(seed1, gi)
             u = _uniform_from_bits((D, 3, tile_rows, LANES), dtype)
             u_s, u_t = cam_u[0], cam_u[1]
 
@@ -1222,18 +1297,35 @@ def make_fused_collect_tracer(scene: Scene, cam, cfg: RenderConfig,
                                    u_s, u_t, dtype, fastmath=fastmath)
 
         def on_residual(lb, P, sc_b, gate, masks):
-            rsc_ref[lb] = sc_b
             best = jnp.zeros(sc_b.shape, jnp.int32)  # 0 = no hit / dead
             for s, m in enumerate(masks):
                 best = jnp.where(m, s + 1, best)
-            rbest_ref[lb] = best
+            if n_chunks == 1:
+                rsc_ref[lb] = sc_b
+                rbest_ref[lb] = best
+            else:
+                rsc_ref[0, lb] = sc_b
+                rbest_ref[0, lb] = best
 
         L = _wavefront_body(ss, cfg, alb_ref, emis_ref, o, d, get_u,
                             dtype, on_residual=on_residual,
                             fastmath=fastmath)
-        lx[...] = L.x
-        ly[...] = L.y
-        lz[...] = L.z
+        if n_chunks > 1:
+            @pl.when(ck == 0)
+            def _init():
+                lx[...] = L.x
+                ly[...] = L.y
+                lz[...] = L.z
+
+            @pl.when(ck != 0)
+            def _acc():
+                lx[...] = lx[...] + L.x
+                ly[...] = ly[...] + L.y
+                lz[...] = lz[...] + L.z
+        else:
+            lx[...] = L.x
+            ly[...] = L.y
+            lz[...] = L.z
 
     def trace(albedo_tab, emission_tab, *args, tile_base=0):
         dtype = albedo_tab.dtype
@@ -1262,19 +1354,31 @@ def make_fused_collect_tracer(scene: Scene, cam, cfg: RenderConfig,
             in_specs.append(pl.BlockSpec((D, 3, tile_rows, LANES),
                                          lambda i: (0, 0, i, 0),
                                          memory_space=pltpu.VMEM))
+        if n_chunks == 1:
+            res_shapes = [jax.ShapeDtypeStruct((D, rows, LANES), dtype),
+                          jax.ShapeDtypeStruct((D, rows, LANES),
+                                               jnp.int32)]
+        else:
+            res_shapes = [
+                jax.ShapeDtypeStruct((n_chunks, D, rows, LANES), dtype),
+                jax.ShapeDtypeStruct((n_chunks, D, rows, LANES),
+                                     jnp.int32)]
         out = pl.pallas_call(
             kernel,
-            grid=(grid,),
+            grid=(grid,) if n_chunks == 1 else (grid, n_chunks),
             in_specs=in_specs,
             out_specs=[ray_spec] * 3 + [res_spec, res_spec],
             out_shape=[jax.ShapeDtypeStruct((rows, LANES), dtype)] * 3
-            + [jax.ShapeDtypeStruct((D, rows, LANES), dtype),
-               jax.ShapeDtypeStruct((D, rows, LANES), jnp.int32)],
+            + res_shapes,
             interpret=interpret,
         )(*call_args)
         L = V3(*(c.reshape(padded)[:n] for c in out[:3]))
-        rsc = out[3].reshape(D, padded)[:, :n]
-        rbest = out[4].reshape(D, padded)[:, :n]
+        if n_chunks == 1:
+            rsc = out[3].reshape(D, padded)[:, :n]
+            rbest = out[4].reshape(D, padded)[:, :n]
+        else:
+            rsc = out[3].reshape(n_chunks, D, padded)[:, :, :n]
+            rbest = out[4].reshape(n_chunks, D, padded)[:, :, :n]
         return L, rsc, rbest
 
     return trace
@@ -1282,7 +1386,8 @@ def make_fused_collect_tracer(scene: Scene, cam, cfg: RenderConfig,
 
 def make_fused_sweep_adjoint(scene: Scene, cfg: RenderConfig,
                              tile_rows: int = 32,
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             n_chunks: int = 1):
     """Reverse-sweep-only adjoint over stored residuals — the backward
     half of the store-vs-retrace tradeoff (see make_fused_collect_tracer).
 
@@ -1295,6 +1400,11 @@ def make_fused_sweep_adjoint(scene: Scene, cfg: RenderConfig,
 
     Returns `sweep(alb, emi, rsc: f[D, n], rbest: i32[D, n], g: V3[n])
     -> (d_albedo, d_emission)` (same shapes as make_fused_adjoint).
+
+    n_chunks > 1 consumes the chunk-dim residuals of the chunk-grid
+    collect tracer (`rsc: f[n_chunks, D, n]`, `rbest: i32[n_chunks, D,
+    n]`) and accumulates all chunks' gradient partials in one launch
+    (grid (tiles, chunks); g is per-ray, identical across chunks).
     """
     ss = StaticScene(scene)
     if interpret is None:
@@ -1309,8 +1419,12 @@ def make_fused_sweep_adjoint(scene: Scene, cfg: RenderConfig,
         T = V3(dtype(1.0), dtype(1.0), dtype(1.0))
         Px, Py, Pz, scs, gates, bests, albs = [], [], [], [], [], [], []
         for b in range(D):
-            sc_b = rsc_ref[b]
-            best = rbest_ref[b]
+            if n_chunks == 1:
+                sc_b = rsc_ref[b]
+                best = rbest_ref[b]
+            else:
+                sc_b = rsc_ref[0, b]
+                best = rbest_ref[0, b]
             rr = inv_keep if b >= cfg.min_bounces else dtype(1.0)
             gate = jnp.where(best > 0, rr, dtype(0.0))
             P = V3(T.x * gate, T.y * gate, T.z * gate)
@@ -1329,30 +1443,46 @@ def make_fused_sweep_adjoint(scene: Scene, cfg: RenderConfig,
         _, da_acc, de_acc = _reverse_sweep(ss, alb_ref, emis_ref, g,
                                            scratch, D, g.x.shape, dtype,
                                            albedos=albs)
-        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype)
+        first = pl.program_id(0) == 0
+        if n_chunks > 1:
+            first = first & (pl.program_id(1) == 0)
+        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype,
+                              first=first)
 
     def sweep(albedo_tab, emission_tab, rsc, rbest, g: V3):
-        n = g.x.shape[0]
+        n = g.x.shape[-1]
         n_alb = albedo_tab.shape[0]
         n_emit = emission_tab.shape[0]
         dtype = g.x.dtype
         rows, padded = _pad_rows(n, tile_rows)
         grid = rows // tile_rows
-        tile, ray_spec, smem = _seg_spec_helpers(tile_rows)
-        res_spec = pl.BlockSpec((D, tile_rows, LANES), lambda i: (0, i, 0),
-                                memory_space=pltpu.VMEM)
-        rsc_t = jnp.pad(rsc, ((0, 0), (0, padded - n))) \
-            .reshape(D, rows, LANES)
-        rbest_t = jnp.pad(rbest, ((0, 0), (0, padded - n))) \
-            .reshape(D, rows, LANES)
+        tile, ray_spec, smem = _seg_spec_helpers(tile_rows, n_chunks)
+        if n_chunks == 1:
+            res_spec = pl.BlockSpec((D, tile_rows, LANES),
+                                    lambda i: (0, i, 0),
+                                    memory_space=pltpu.VMEM)
+            rsc_t = jnp.pad(rsc, ((0, 0), (0, padded - n))) \
+                .reshape(D, rows, LANES)
+            rbest_t = jnp.pad(rbest, ((0, 0), (0, padded - n))) \
+                .reshape(D, rows, LANES)
+            acc_idx = lambda i: (0, 0)
+        else:
+            res_spec = pl.BlockSpec((1, D, tile_rows, LANES),
+                                    lambda i, c: (c, 0, i, 0),
+                                    memory_space=pltpu.VMEM)
+            rsc_t = jnp.pad(rsc, ((0, 0), (0, 0), (0, padded - n))) \
+                .reshape(n_chunks, D, rows, LANES)
+            rbest_t = jnp.pad(rbest, ((0, 0), (0, 0), (0, padded - n))) \
+                .reshape(n_chunks, D, rows, LANES)
+            acc_idx = lambda i, c: (0, 0)
         gargs = [_to_tiles(c, padded, rows) for c in (g.x, g.y, g.z)]
-        acc_a = pl.BlockSpec((n_alb, 3), lambda i: (0, 0),
+        acc_a = pl.BlockSpec((n_alb, 3), acc_idx,
                              memory_space=pltpu.SMEM)
-        acc_e = pl.BlockSpec((n_emit, 3), lambda i: (0, 0),
+        acc_e = pl.BlockSpec((n_emit, 3), acc_idx,
                              memory_space=pltpu.SMEM)
         da, de = pl.pallas_call(
             kernel,
-            grid=(grid,),
+            grid=(grid,) if n_chunks == 1 else (grid, n_chunks),
             in_specs=[smem, smem, res_spec, res_spec] + [ray_spec] * 3,
             out_specs=[acc_a, acc_e],
             out_shape=[jax.ShapeDtypeStruct((n_alb, 3), dtype),
@@ -1369,7 +1499,8 @@ def make_fused_segment_adjoint(scene: Scene, cam, cfg: RenderConfig,
                                n_rays: int | None = None,
                                tile_rows: int = 32, rng: str = "internal",
                                interpret: bool | None = None,
-                               fastmath: bool = False):
+                               fastmath: bool = False,
+                               n_chunks: int = 1):
     """Adjoint kernel for bounces [b_start, b_end): retrace the segment
     (replaying its streams / tape), reverse-sweep with the boundary
     suffix radiance, and accumulate parameter-gradient partials.
@@ -1378,6 +1509,12 @@ def make_fused_segment_adjoint(scene: Scene, cam, cfg: RenderConfig,
     tile_base=0)`; S_end present iff b_end < max_depth. Returns
     (da, de[, S_start3]) with S_start returned iff b_start > 0.
     Tape mode replaces seeds by ([cam_u,] u) as in the tracer.
+
+    n_chunks > 1 (full-depth internal rng only): the spp-chunk loop
+    rides the grid as in make_fused_segment_tracer (seeds advanced per
+    chunk in-kernel); g stays per-ray (identical across chunks) and the
+    SMEM partials accumulate over all (tile, chunk) steps — one launch
+    for the whole retrace backward.
     """
     ss = StaticScene(scene)
     sc = StaticCamera(cam, cfg.width, cfg.height)
@@ -1388,11 +1525,13 @@ def make_fused_segment_adjoint(scene: Scene, cam, cfg: RenderConfig,
     entry_cam = b_start == 0
     final = b_end == cfg.max_depth
     seg_len = b_end - b_start
+    assert n_chunks == 1 or (entry_cam and final and rng == "internal"), \
+        "chunk-grid adjoint is full-depth internal-RNG only"
     spp_c = cfg.spp // cfg.spp_chunks
     n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays
     rows, padded = _pad_rows(n, tile_rows)
     grid = rows // tile_rows
-    tile, ray_spec, smem = _seg_spec_helpers(tile_rows)
+    tile, ray_spec, smem = _seg_spec_helpers(tile_rows, n_chunks)
 
     n_state_in = 0 if entry_cam else 10
     n_send_in = 0 if final else 3
@@ -1419,16 +1558,18 @@ def make_fused_segment_adjoint(scene: Scene, cam, cfg: RenderConfig,
         dtype = gx.dtype.type
         i = pl.program_id(0)
         gi = tb_ref[0] + i
+        ck = pl.program_id(1) if n_chunks > 1 else 0
 
         if rng == "internal":
+            seed0, seed1 = _chunk_seed_pair(seed_ref, ck, n_chunks)
             if entry_cam:
-                pltpu.prng_seed(seed_ref[0], gi)
+                pltpu.prng_seed(seed0, gi)
                 cam_u = _uniform_from_bits((2, tile_rows, LANES), dtype)
             # Mosaic's prng_seed takes at most 2 values; fold the
             # segment offset into the seed word (mod 2^32, signed).
             _v = (0x6A09E667 * b_start) & 0xFFFFFFFF
             salt = np.int32(_v - (1 << 32) if _v >= (1 << 31) else _v)
-            pltpu.prng_seed(seed_ref[1] + salt, gi)
+            pltpu.prng_seed(seed1 + salt, gi)
             u = _uniform_from_bits((seg_len, 3, tile_rows, LANES), dtype)
 
             def get_u(lb):
@@ -1467,7 +1608,11 @@ def make_fused_segment_adjoint(scene: Scene, cam, cfg: RenderConfig,
         S_start, da_acc, de_acc = _reverse_sweep(
             ss, alb_ref, emis_ref, g, scratch, seg_len, g.x.shape, dtype,
             S_end=S_end)
-        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype)
+        first = pl.program_id(0) == 0
+        if n_chunks > 1:
+            first = first & (pl.program_id(1) == 0)
+        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype,
+                              first=first)
         if sstart_refs:
             sstart_refs[0][...] = S_start.x
             sstart_refs[1][...] = S_start.y
@@ -1513,9 +1658,11 @@ def make_fused_segment_adjoint(scene: Scene, cam, cfg: RenderConfig,
             call_args.append(_to_tiles(c, padded, rows))
             in_specs.append(ray_spec)
 
-        acc_a = pl.BlockSpec((n_alb, 3), lambda i: (0, 0),
+        acc_idx = (lambda i: (0, 0)) if n_chunks == 1 \
+            else (lambda i, c: (0, 0))
+        acc_a = pl.BlockSpec((n_alb, 3), acc_idx,
                              memory_space=pltpu.SMEM)
-        acc_e = pl.BlockSpec((n_emit, 3), lambda i: (0, 0),
+        acc_e = pl.BlockSpec((n_emit, 3), acc_idx,
                              memory_space=pltpu.SMEM)
         out_specs = [acc_a, acc_e] + [ray_spec] * n_sstart_out
         out_shape = ([jax.ShapeDtypeStruct((n_alb, 3), dtype),
@@ -1524,7 +1671,7 @@ def make_fused_segment_adjoint(scene: Scene, cam, cfg: RenderConfig,
                      * n_sstart_out)
         out = pl.pallas_call(
             kernel,
-            grid=(grid,),
+            grid=(grid,) if n_chunks == 1 else (grid, n_chunks),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,

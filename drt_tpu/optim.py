@@ -38,6 +38,16 @@ def make_train_step(scene: Scene, cfg: RenderConfig, cam: Camera,
     (observed: 0.2 recovered vs 0.5 true at 16 spp); the paired product is
     an unbiased estimator of the true expected-image loss.
     """
+    body = _make_step_body(scene, cfg, cam, target, optimizer, mesh=mesh,
+                           paired=paired, backend=backend)
+    return jax.jit(body)
+
+
+def _make_step_body(scene: Scene, cfg: RenderConfig, cam: Camera,
+                    target: jnp.ndarray, optimizer, mesh=None,
+                    paired: bool = True, backend: str = "auto"):
+    """The un-jitted `(state, key) -> (state, metrics)` step body shared
+    by the single-step fn and the scanned multi-step blocks."""
     render = make_renderer(scene, cfg, cam, mesh=mesh, differentiable=True,
                            backend=backend)
 
@@ -49,7 +59,6 @@ def make_train_step(scene: Scene, cfg: RenderConfig, cam: Camera,
         img = render(params, key)
         return jnp.mean((img - target) ** 2)
 
-    @jax.jit
     def step(state: TrainState, key):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, key)
         updates, opt_state = optimizer.update(grads, state.opt_state,
@@ -67,6 +76,43 @@ def make_train_step(scene: Scene, cfg: RenderConfig, cam: Camera,
     return step
 
 
+def make_train_block(scene: Scene, cfg: RenderConfig, cam: Camera,
+                     target: jnp.ndarray,
+                     optimizer: optax.GradientTransformation,
+                     mesh=None, paired: bool = True,
+                     backend: str = "auto"):
+    """Build `run(state, base_key, length) -> (state, stacked_metrics)`:
+    `length` optimizer steps as ONE device dispatch (a lax.scan inside
+    one jit), with the per-step key derived IN-device as
+    `fold_in(base_key, state.step)` — bit-equal to `length` calls of the
+    single-step fn with host-side `fold_in(key, i)` (threefry is the
+    same function either side of the trace). On hosts where per-dispatch
+    latency rivals the device step time (axon ~25 ms) this is the train
+    loop's 'enqueue K, sync once' form (VERDICT r3 #2b): ~K× fewer
+    dispatches. The reference analogue being beaten is the serial
+    per-step host loop, src/render.cpp:72-86."""
+    body = _make_step_body(scene, cfg, cam, target, optimizer, mesh=mesh,
+                           paired=paired, backend=backend)
+    jitted: dict[int, object] = {}  # one compiled scan per block length
+
+    def _block(length: int):
+        def run(state: TrainState, key):
+            def scan_body(st, _):
+                st2, metrics = body(st, jax.random.fold_in(key, st.step))
+                return st2, metrics
+            return jax.lax.scan(scan_body, state, None, length=length)
+
+        return jax.jit(run)
+
+    def run(state: TrainState, key, length: int):
+        fn = jitted.get(length)
+        if fn is None:
+            fn = jitted[length] = _block(int(length))
+        return fn(state, key)
+
+    return run
+
+
 def init_state(params: Params, optimizer) -> TrainState:
     return TrainState(params, optimizer.init(params), jnp.asarray(0))
 
@@ -77,7 +123,8 @@ def inverse_render(scene: Scene, cfg: RenderConfig, cam: Camera,
                    mesh=None, log_every: int = 0, logger=None,
                    backend: str = "auto", checkpoint_dir: str | None = None,
                    checkpoint_every: int = 50,
-                   metrics_jsonl: str | None = None):
+                   metrics_jsonl: str | None = None,
+                   steps_per_call: int = 1):
     """Run the recovery loop (BASELINE.json config 4). Returns
     (final params, per-step metrics dict of stacked arrays).
 
@@ -85,12 +132,22 @@ def inverse_render(scene: Scene, cfg: RenderConfig, cam: Camera,
     there (params + Adam moments + RNG key + step — SURVEY.md §5) and
     saves every `checkpoint_every` steps.
     metrics_jsonl: if given, per-step metrics stream to this JSONL file.
+    steps_per_call: optimizer steps per device dispatch (a lax.scan
+    block, make_train_block). Bit-equal to 1 (same fold_in stream);
+    blocks shorten automatically so checkpoints still land exactly on
+    `checkpoint_every` boundaries.
     """
     from drt_tpu.utils.logging import MetricsLogger
 
     optimizer = optax.adam(learning_rate)
-    step_fn = make_train_step(scene, cfg, cam, target, optimizer, mesh=mesh,
-                              backend=backend)
+    if steps_per_call < 1:
+        raise ValueError(f"steps_per_call must be >= 1, got {steps_per_call}")
+    if steps_per_call > 1:
+        block_fn = make_train_block(scene, cfg, cam, target, optimizer,
+                                    mesh=mesh, backend=backend)
+    else:
+        step_fn = make_train_step(scene, cfg, cam, target, optimizer,
+                                  mesh=mesh, backend=backend)
     state = init_state(init_params, optimizer)
     start = 0
     if checkpoint_dir is not None:
@@ -105,20 +162,36 @@ def inverse_render(scene: Scene, cfg: RenderConfig, cam: Camera,
 
     mlog = MetricsLogger(metrics_jsonl) if metrics_jsonl else None
     losses, grad_norms = [], []
-    for i in range(start, steps):
-        state, metrics = step_fn(state, jax.random.fold_in(key, i))
-        losses.append(metrics["loss"])
-        grad_norms.append(metrics["grad_norm"])
+
+    def _after(i, loss_i, gn_i):
+        losses.append(loss_i)
+        grad_norms.append(gn_i)
         if log_every and (i % log_every == 0 or i == steps - 1):
             if mlog:
-                mlog.log(i, loss=metrics["loss"],
-                         grad_norm=metrics["grad_norm"])
+                mlog.log(i, loss=loss_i, grad_norm=gn_i)
             else:
-                msg = f"step {i:4d} loss {float(metrics['loss']):.6g}"
-                (logger or print)(msg)
+                (logger or print)(f"step {i:4d} loss {float(loss_i):.6g}")
+
+    i = start
+    while i < steps:
+        if steps_per_call > 1:
+            n = steps - i
+            if checkpoint_dir is not None and checkpoint_every:
+                # Shorten the block so the save still lands exactly on
+                # the checkpoint_every boundary (bit-exact resume).
+                n = min(n, checkpoint_every - (i % checkpoint_every))
+            n = min(n, steps_per_call)
+            state, metrics = block_fn(state, key, n)
+            for j in range(n):
+                _after(i + j, metrics["loss"][j], metrics["grad_norm"][j])
+            i += n
+        else:
+            state, metrics = step_fn(state, jax.random.fold_in(key, i))
+            _after(i, metrics["loss"], metrics["grad_norm"])
+            i += 1
         if (checkpoint_dir is not None and checkpoint_every
-                and ((i + 1) % checkpoint_every == 0 or i == steps - 1)):
-            save_orbax(checkpoint_dir, state, key, step=i + 1)
+                and (i % checkpoint_every == 0 or i == steps)):
+            save_orbax(checkpoint_dir, state, key, step=i)
     if checkpoint_dir is not None:
         from drt_tpu.utils.checkpoint import close_orbax
         close_orbax(checkpoint_dir)

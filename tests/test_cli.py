@@ -57,3 +57,15 @@ def test_invalid_spp_chunks_errors(tmp_path):
 def test_invalid_absorb_prob_errors(tmp_path):
     with pytest.raises(ValueError, match="absorb_prob"):
         cli.main(["render", "-o", str(tmp_path / "x.exr"), "-p", "1.0"])
+
+
+def test_invert_steps_per_call_smoke(tmp_path, capsys):
+    """`invert --steps-per-call` (the blocked train loop, VERDICT r3
+    #2b) end to end: tiny run writes the recovery JSON."""
+    out = str(tmp_path / "inv.json")
+    rc = cli.main(["invert", "-o", out, "-x", "8", "-y", "6", "-n", "4",
+                   "--max-depth", "3", "--steps", "6",
+                   "--steps-per-call", "4", "--log-every", "0"])
+    assert rc == 0
+    data = json.load(open(out))
+    assert "recovered_albedo" in data and "final_loss" in data
