@@ -57,9 +57,10 @@ from jax.experimental.pallas import tpu as pltpu
 from drt_tpu.config import RenderConfig
 from drt_tpu.constants import PI, RAY_EPS
 from drt_tpu.ops.megakernel import (LANES, StaticCamera, _accumulate_grad_smem,
-                                    _camera_rays_static, _inv_sqrt,
-                                    _pad_rows, _seg_spec_helpers,
-                                    _to_tiles, _uniform_from_bits)
+                                    _camera_rays_static, _chunk_seed_pair,
+                                    _inv_sqrt, _pad_rows,
+                                    _seg_spec_helpers, _to_tiles,
+                                    _uniform_from_bits)
 from drt_tpu.ops.vecmath import V3
 from drt_tpu.scene import (DIFFUSE, MIRROR, NULL_BXDF, PLANE, SPECULAR,
                            SPHERE, TRIANGLE, Scene)
@@ -89,14 +90,17 @@ class DynScene:
     tile and SKIPS the cluster's triangle tests when no lane's ray
     enters the box short of its current best hit — whole-tile culling
     is the SIMD-lockstep replacement for the reference's per-ray BVH
-    descent (which per-lane stacks would serialize on the VPU).
+    descent (which per-lane stacks would serialize on the VPU). Past
+    `super_m` leaves a second level activates: `super_m` consecutive
+    leaves union into a super-AABB whose one slab test skips all M
+    leaf tests (two-level flattened BVH, docs/KERNELS.md).
     Nearest-hit results are BIT-IDENTICAL with clustering on or off:
     the (t, original-index) lexicographic winner is visit-order
     independent and padding triangles are degenerate (det == 0).
     """
 
     def __init__(self, scene: Scene, cluster_k: int = 16,
-                 cluster_min_tris: int = 32):
+                 cluster_min_tris: int = 32, super_m: int = 8):
         self.scene = scene  # the original Scene (material tables etc.)
         stype = np.asarray(scene.shape_type)
         geo = np.asarray(scene.shape_geo, np.float32)
@@ -154,11 +158,40 @@ class DynScene:
         # per-cluster conservative AABBs (the 8th SMEM operand).
         self.n_clusters = 0
         self.cluster_k = cluster_k
+        self.n_super = 0
+        self.super_m = super_m
+        self.n_clusters_pad = 0
         caabb = np.zeros((1, 6), np.float32)
         t0 = self.n_plane + self.n_sphere
         if self.n_tri > cluster_min_tris:
             slots, caabb = _cluster_tris(geo_s[t0:], cluster_k)
             self.n_clusters = caabb.shape[0]
+            self.n_clusters_pad = self.n_clusters
+            if super_m > 1 and self.n_clusters > super_m:
+                # Second culling level (two-level flattened BVH): group
+                # `super_m` CONSECUTIVE leaves (the median-split visit
+                # order is spatially coherent) under a union AABB; the
+                # kernel slab-tests the super box once and skips all M
+                # leaf tests when no lane enters. Leaf rows pad to a
+                # multiple of M with EMPTY boxes (lo=+big > hi=-big:
+                # tmax < tmin, never entered, so their out-of-segment
+                # triangle slots are never touched). Super rows append
+                # AFTER the padded leaf rows in the same SMEM operand.
+                M = super_m
+                C = self.n_clusters
+                n_super = -(-C // M)
+                pad = n_super * M - C
+                if pad:
+                    empty = np.empty((pad, 6), np.float32)
+                    empty[:, :3] = 1e30
+                    empty[:, 3:] = -1e30
+                    caabb = np.concatenate([caabb, empty])
+                grp = caabb.reshape(n_super, M, 6)
+                sup = np.concatenate([grp[:, :, :3].min(1),
+                                      grp[:, :, 3:].max(1)], axis=1)
+                caabb = np.concatenate([caabb, sup.astype(np.float32)])
+                self.n_super = n_super
+                self.n_clusters_pad = n_super * M
 
             def reseg(a, fill):
                 seg = a[t0:][np.maximum(slots, 0)].copy()
@@ -241,7 +274,7 @@ def _loop(lo: int, hi: int, body, carry, max_unroll: int):
 
 
 def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
-                   max_unroll: int, fastmath: bool = False):
+                   max_unroll: int, fastmath: bool = False, alive=None):
     """Nearest-hit over the memory-resident shape arrays.
 
     Returns (best_t, hit, aux V3, mtype, arow, erow, expo, stype) per
@@ -403,14 +436,13 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
         ivx, ivy, ivz = _safe_inv(d.x), _safe_inv(d.y), _safe_inv(d.z)
         t_lo, K = lo, ds.cluster_k
 
-        def cluster_body(c, carry):
-            bn, bd = carry[0], carry[1]
-            tx1 = (caabb_ref[c, 0] - o.x) * ivx
-            ty1 = (caabb_ref[c, 1] - o.y) * ivy
-            tz1 = (caabb_ref[c, 2] - o.z) * ivz
-            tx2 = (caabb_ref[c, 3] - o.x) * ivx
-            ty2 = (caabb_ref[c, 4] - o.y) * ivy
-            tz2 = (caabb_ref[c, 5] - o.z) * ivz
+        def _slab_enter(row, bn, bd):
+            tx1 = (caabb_ref[row, 0] - o.x) * ivx
+            ty1 = (caabb_ref[row, 1] - o.y) * ivy
+            tz1 = (caabb_ref[row, 2] - o.z) * ivz
+            tx2 = (caabb_ref[row, 3] - o.x) * ivx
+            ty2 = (caabb_ref[row, 4] - o.y) * ivy
+            tz2 = (caabb_ref[row, 5] - o.z) * ivz
             tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
                                            jnp.minimum(ty1, ty2)),
                                jnp.minimum(tz1, tz2))
@@ -423,6 +455,18 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
             else:
                 bound = tmin <= bn * (1 + 1e-5) + 1e-5
             enter = (tmax >= tmin) & (tmax > 0) & bound
+            if alive is not None and not isinstance(alive, bool):
+                # Dead lanes carry o=0, d=0: for an AABB straddling the
+                # world origin on all axes the degenerate slab test
+                # yields tmin=-huge/tmax=+huge with best == inf, so
+                # `enter` would be true and ONE dead lane in the tile
+                # would veto the cull for every such cluster (perf
+                # only — results stay bit-identical). Mask them out.
+                enter = enter & alive
+            return enter
+
+        def cluster_body(c, carry):
+            enter = _slab_enter(c, carry[0], carry[1])
 
             def run(cr):
                 for j in range(K):
@@ -432,7 +476,33 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
             return jax.lax.cond(jnp.any(enter), run, lambda cr: cr,
                                 carry)
 
-        carry = _loop(0, ds.n_clusters, cluster_body, carry, max_unroll)
+        if ds.n_super:
+            # Two-level cull: super row s (stored after the padded leaf
+            # rows) unions leaves [s*M, (s+1)*M); one whole-tile slab
+            # test skips all M leaf tests. Padding leaves are EMPTY
+            # boxes — never entered, their triangle slots never read.
+            # Both levels are fori_loops (NOT _loop's unroll): supers
+            # only activate past 8 leaves (>128 tris), where exactly ONE
+            # slab+cluster body instance keeps kernel size — and Mosaic
+            # compile time — scene-size independent.
+            M = ds.super_m
+            s_off = ds.n_clusters_pad
+
+            def super_body(s, carry):
+                enter = _slab_enter(s_off + s, carry[0], carry[1])
+
+                def run(cr):
+                    return jax.lax.fori_loop(
+                        0, M, lambda j, c2: cluster_body(s * M + j, c2),
+                        cr)
+
+                return jax.lax.cond(jnp.any(enter), run, lambda cr: cr,
+                                    carry)
+
+            carry = jax.lax.fori_loop(0, ds.n_super, super_body, carry)
+        else:
+            carry = _loop(0, ds.n_clusters, cluster_body, carry,
+                          max_unroll)
     else:
         carry = _loop(lo, lo + ds.n_tri, tri_body, carry, max_unroll)
 
@@ -614,7 +684,8 @@ def _dyn_wavefront_body(ds: DynScene, cfg: RenderConfig, scn_refs,
             rr_scale = dtype(1.0)
 
         best_t, hit, aux, mt, ar, er, ex, st = _dyn_intersect(
-            ds, scn_refs, o, d, dtype, max_unroll, fastmath=fastmath)
+            ds, scn_refs, o, d, dtype, max_unroll, fastmath=fastmath,
+            alive=alive)
         alive = alive & hit
         gate = jnp.where(alive, rr_scale, dtype(0.0))
         # Sanitize the winner attributes on dead lanes: sentinel rows
@@ -753,7 +824,7 @@ def _prep_stream_specs(rng, entry_args, smem, tile_rows, D, rows,
 def make_dyn_tracer(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
                     rng: str = "internal", interpret: bool | None = None,
                     n_rays: int | None = None, unroll_shapes: int = 16,
-                    fastmath: bool = False):
+                    fastmath: bool = False, n_chunks: int = 1):
     """Fully-fused forward tracer over a memory-resident scene: camera
     ray generation, uniform sampling and the whole wavefront loop in one
     kernel, with the scene read from SMEM arrays at run time.
@@ -762,16 +833,21 @@ def make_dyn_tracer(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
     tile_base=0) -> V3[n]` where `scn = DynScene(scene).operands`.
     Stream layouts and seeding are IDENTICAL to the baked
     make_fused_tracer (megakernel.py), so the same seeds give the same
-    sample sequences."""
+    sample sequences.
+
+    n_chunks > 1 (internal rng only): the spp-chunk loop rides the grid
+    and the result is the per-slot radiance SUM over chunks — one launch
+    per forward (see megakernel.make_fused_segment_tracer)."""
     ds = DynScene.of(scene)
     sc = StaticCamera(cam, cfg.width, cfg.height)
     interpret = _resolve_interpret(interpret, rng)
+    assert n_chunks == 1 or rng == "internal"
     D = cfg.max_depth
     spp_c = cfg.spp // cfg.spp_chunks
     n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays
     rows, padded = _pad_rows(n, tile_rows)
     grid = rows // tile_rows
-    tile, ray_spec, smem = _seg_spec_helpers(tile_rows)
+    tile, ray_spec, smem = _seg_spec_helpers(tile_rows, n_chunks)
 
     def kernel(*refs):
         it = iter(refs)
@@ -788,11 +864,13 @@ def make_dyn_tracer(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
         dtype = lx.dtype.type
         i = pl.program_id(0)
         gi = tb_ref[0] + i
+        ck = pl.program_id(1) if n_chunks > 1 else 0
 
         if rng == "internal":
-            pltpu.prng_seed(seed_ref[0], gi)
+            seed0, seed1 = _chunk_seed_pair(seed_ref, ck, n_chunks)
+            pltpu.prng_seed(seed0, gi)
             cam_u = _uniform_from_bits((2, tile_rows, LANES), dtype)
-            pltpu.prng_seed(seed_ref[1], gi)
+            pltpu.prng_seed(seed1, gi)
             u = _uniform_from_bits((D, 3, tile_rows, LANES), dtype)
             u_s, u_t = cam_u[0], cam_u[1]
 
@@ -810,9 +888,22 @@ def make_dyn_tracer(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
         L = _dyn_wavefront_body(ds, cfg, scn_refs, alb_ref, emis_ref,
                                 o, d, get_u, dtype, unroll_shapes,
                                 fastmath=fastmath)
-        lx[...] = L.x
-        ly[...] = L.y
-        lz[...] = L.z
+        if n_chunks > 1:
+            @pl.when(ck == 0)
+            def _init():
+                lx[...] = L.x
+                ly[...] = L.y
+                lz[...] = L.z
+
+            @pl.when(ck != 0)
+            def _acc():
+                lx[...] = lx[...] + L.x
+                ly[...] = ly[...] + L.y
+                lz[...] = lz[...] + L.z
+        else:
+            lx[...] = L.x
+            ly[...] = L.y
+            lz[...] = L.z
 
     def trace(albedo_tab, emission_tab, scn, *args, tile_base=0):
         dtype = albedo_tab.dtype
@@ -824,7 +915,7 @@ def make_dyn_tracer(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
         in_specs = [smem, *s_specs] + [smem] * (2 + _N_SCN)
         out = pl.pallas_call(
             kernel,
-            grid=(grid,),
+            grid=(grid,) if n_chunks == 1 else (grid, n_chunks),
             in_specs=in_specs,
             out_specs=[ray_spec] * 3,
             out_shape=[jax.ShapeDtypeStruct((rows, LANES), dtype)] * 3,
@@ -840,7 +931,7 @@ def make_dyn_collect_tracer(scene, cam, cfg: RenderConfig,
                             interpret: bool | None = None,
                             n_rays: int | None = None,
                             unroll_shapes: int = 16,
-                            fastmath: bool = False):
+                            fastmath: bool = False, n_chunks: int = 1):
     """Forward tracer that ALSO writes per-bounce adjoint residuals to
     HBM: (sc f32, rrow i32) at 8 B/bounce-ray, where rrow packs
     (albedo row | emission row << 8 | live << 16). The dyn counterpart
@@ -849,18 +940,29 @@ def make_dyn_collect_tracer(scene, cam, cfg: RenderConfig,
     (key-replay) gradient mode only (integrate.hpp:26-37).
 
     Returns `trace(alb, emi, scn, seeds | (cam_u, u), tile_base=0) ->
-    (L: V3[n], rsc: f[D, n], rrow: i32[D, n])`."""
+    (L: V3[n], rsc: f[D, n], rrow: i32[D, n])`.
+
+    n_chunks > 1 (internal rng only): chunk-grid form — L is the
+    per-slot SUM over chunks and the residuals gain a leading chunk dim
+    (see megakernel.make_fused_collect_tracer)."""
     ds = DynScene.of(scene)
     sc = StaticCamera(cam, cfg.width, cfg.height)
     interpret = _resolve_interpret(interpret, rng)
+    assert n_chunks == 1 or rng == "internal"
     D = cfg.max_depth
     spp_c = cfg.spp // cfg.spp_chunks
     n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays
     rows, padded = _pad_rows(n, tile_rows)
     grid = rows // tile_rows
-    tile, ray_spec, smem = _seg_spec_helpers(tile_rows)
-    res_spec = pl.BlockSpec((D, tile_rows, LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
+    tile, ray_spec, smem = _seg_spec_helpers(tile_rows, n_chunks)
+    if n_chunks == 1:
+        res_spec = pl.BlockSpec((D, tile_rows, LANES),
+                                lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        res_spec = pl.BlockSpec((1, D, tile_rows, LANES),
+                                lambda i, c: (c, 0, i, 0),
+                                memory_space=pltpu.VMEM)
 
     def kernel(*refs):
         it = iter(refs)
@@ -877,11 +979,13 @@ def make_dyn_collect_tracer(scene, cam, cfg: RenderConfig,
         dtype = lx.dtype.type
         i = pl.program_id(0)
         gi = tb_ref[0] + i
+        ck = pl.program_id(1) if n_chunks > 1 else 0
 
         if rng == "internal":
-            pltpu.prng_seed(seed_ref[0], gi)
+            seed0, seed1 = _chunk_seed_pair(seed_ref, ck, n_chunks)
+            pltpu.prng_seed(seed0, gi)
             cam_u = _uniform_from_bits((2, tile_rows, LANES), dtype)
-            pltpu.prng_seed(seed_ref[1], gi)
+            pltpu.prng_seed(seed1, gi)
             u = _uniform_from_bits((D, 3, tile_rows, LANES), dtype)
             u_s, u_t = cam_u[0], cam_u[1]
 
@@ -898,17 +1002,34 @@ def make_dyn_collect_tracer(scene, cam, cfg: RenderConfig,
                                    u_s, u_t, dtype, fastmath=fastmath)
 
         def on_residual(lb, P, sc_b, gate, ar, er, alive):
-            rsc_ref[lb] = sc_b
             live = jnp.where(alive, 1 << (2 * _ROW_BITS), 0)
-            rrow_ref[lb] = ar + (er << _ROW_BITS) + live
+            if n_chunks == 1:
+                rsc_ref[lb] = sc_b
+                rrow_ref[lb] = ar + (er << _ROW_BITS) + live
+            else:
+                rsc_ref[0, lb] = sc_b
+                rrow_ref[0, lb] = ar + (er << _ROW_BITS) + live
 
         L = _dyn_wavefront_body(ds, cfg, scn_refs, alb_ref, emis_ref,
                                 o, d, get_u, dtype, unroll_shapes,
                                 on_residual=on_residual,
                                 fastmath=fastmath)
-        lx[...] = L.x
-        ly[...] = L.y
-        lz[...] = L.z
+        if n_chunks > 1:
+            @pl.when(ck == 0)
+            def _init():
+                lx[...] = L.x
+                ly[...] = L.y
+                lz[...] = L.z
+
+            @pl.when(ck != 0)
+            def _acc():
+                lx[...] = lx[...] + L.x
+                ly[...] = ly[...] + L.y
+                lz[...] = lz[...] + L.z
+        else:
+            lx[...] = L.x
+            ly[...] = L.y
+            lz[...] = L.z
 
     def trace(albedo_tab, emission_tab, scn, *args, tile_base=0):
         dtype = albedo_tab.dtype
@@ -924,26 +1045,39 @@ def make_dyn_collect_tracer(scene, cam, cfg: RenderConfig,
         assert not rest, len(rest)
         call_args = [tb, *s_args, albedo_tab, emission_tab, *scn]
         in_specs = [smem, *s_specs] + [smem] * (2 + _N_SCN)
+        if n_chunks == 1:
+            res_shapes = [jax.ShapeDtypeStruct((D, rows, LANES), dtype),
+                          jax.ShapeDtypeStruct((D, rows, LANES),
+                                               jnp.int32)]
+        else:
+            res_shapes = [
+                jax.ShapeDtypeStruct((n_chunks, D, rows, LANES), dtype),
+                jax.ShapeDtypeStruct((n_chunks, D, rows, LANES),
+                                     jnp.int32)]
         out = pl.pallas_call(
             kernel,
-            grid=(grid,),
+            grid=(grid,) if n_chunks == 1 else (grid, n_chunks),
             in_specs=in_specs,
             out_specs=[ray_spec] * 3 + [res_spec, res_spec],
             out_shape=[jax.ShapeDtypeStruct((rows, LANES), dtype)] * 3
-            + [jax.ShapeDtypeStruct((D, rows, LANES), dtype),
-               jax.ShapeDtypeStruct((D, rows, LANES), jnp.int32)],
+            + res_shapes,
             interpret=interpret,
         )(*call_args)
         L = V3(*(c.reshape(padded)[:n] for c in out[:3]))
-        rsc = out[3].reshape(D, padded)[:, :n]
-        rrow = out[4].reshape(D, padded)[:, :n]
+        if n_chunks == 1:
+            rsc = out[3].reshape(D, padded)[:, :n]
+            rrow = out[4].reshape(D, padded)[:, :n]
+        else:
+            rsc = out[3].reshape(n_chunks, D, padded)[:, :, :n]
+            rrow = out[4].reshape(n_chunks, D, padded)[:, :, :n]
         return L, rsc, rrow
 
     return trace
 
 
 def make_dyn_sweep_adjoint(scene, cfg: RenderConfig, tile_rows: int = 32,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           n_chunks: int = 1):
     """Reverse-sweep-only adjoint over stored (sc, rrow) residuals — the
     dyn counterpart of megakernel.make_fused_sweep_adjoint. Replays the
     throughput recurrence from the stored rows in the forward's exact op
@@ -951,7 +1085,10 @@ def make_dyn_sweep_adjoint(scene, cfg: RenderConfig, tile_rows: int = 32,
     accumulation. Needs no geometry.
 
     Returns `sweep(alb, emi, rsc f[D,n], rrow i32[D,n], g: V3[n]) ->
-    (d_albedo f[n_alb,3], d_emission f[n_emit,3])`."""
+    (d_albedo f[n_alb,3], d_emission f[n_emit,3])`.
+
+    n_chunks > 1 consumes the chunk-grid collect tracer's chunk-dim
+    residuals (f[n_chunks, D, n]) in one launch."""
     ds = DynScene.of(scene)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -966,8 +1103,12 @@ def make_dyn_sweep_adjoint(scene, cfg: RenderConfig, tile_rows: int = 32,
         Px, Py, Pz, scs, gates, ars, ers, albs = ([] for _ in range(8))
         mask = _ROW_CAP - 1
         for b in range(D):
-            sc_b = rsc_ref[b]
-            pack = rrow_ref[b]
+            if n_chunks == 1:
+                sc_b = rsc_ref[b]
+                pack = rrow_ref[b]
+            else:
+                sc_b = rsc_ref[0, b]
+                pack = rrow_ref[0, b]
             live = (pack >> (2 * _ROW_BITS)) > 0
             ar = pack & mask
             er = (pack >> _ROW_BITS) & mask
@@ -990,7 +1131,11 @@ def make_dyn_sweep_adjoint(scene, cfg: RenderConfig, tile_rows: int = 32,
         _, da_acc, de_acc = _dyn_reverse_sweep(ds, alb_ref, emis_ref, g,
                                                scratch, D, g.x.shape,
                                                dtype, albedos=albs)
-        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype)
+        first = pl.program_id(0) == 0
+        if n_chunks > 1:
+            first = first & (pl.program_id(1) == 0)
+        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype,
+                              first=first)
 
     def sweep(albedo_tab, emission_tab, rsc, rrow, g: V3):
         n = g.x.shape[0]
@@ -999,21 +1144,33 @@ def make_dyn_sweep_adjoint(scene, cfg: RenderConfig, tile_rows: int = 32,
         dtype = g.x.dtype
         rows, padded = _pad_rows(n, tile_rows)
         grid = rows // tile_rows
-        tile, ray_spec, smem = _seg_spec_helpers(tile_rows)
-        res_spec = pl.BlockSpec((D, tile_rows, LANES), lambda i: (0, i, 0),
-                                memory_space=pltpu.VMEM)
-        rsc_t = jnp.pad(rsc, ((0, 0), (0, padded - n))) \
-            .reshape(D, rows, LANES)
-        rrow_t = jnp.pad(rrow, ((0, 0), (0, padded - n))) \
-            .reshape(D, rows, LANES)
+        tile, ray_spec, smem = _seg_spec_helpers(tile_rows, n_chunks)
+        if n_chunks == 1:
+            res_spec = pl.BlockSpec((D, tile_rows, LANES),
+                                    lambda i: (0, i, 0),
+                                    memory_space=pltpu.VMEM)
+            rsc_t = jnp.pad(rsc, ((0, 0), (0, padded - n))) \
+                .reshape(D, rows, LANES)
+            rrow_t = jnp.pad(rrow, ((0, 0), (0, padded - n))) \
+                .reshape(D, rows, LANES)
+            acc_idx = lambda i: (0, 0)
+        else:
+            res_spec = pl.BlockSpec((1, D, tile_rows, LANES),
+                                    lambda i, c: (c, 0, i, 0),
+                                    memory_space=pltpu.VMEM)
+            rsc_t = jnp.pad(rsc, ((0, 0), (0, 0), (0, padded - n))) \
+                .reshape(n_chunks, D, rows, LANES)
+            rrow_t = jnp.pad(rrow, ((0, 0), (0, 0), (0, padded - n))) \
+                .reshape(n_chunks, D, rows, LANES)
+            acc_idx = lambda i, c: (0, 0)
         gargs = [_to_tiles(c, padded, rows) for c in (g.x, g.y, g.z)]
-        acc_a = pl.BlockSpec((n_alb, 3), lambda i: (0, 0),
+        acc_a = pl.BlockSpec((n_alb, 3), acc_idx,
                              memory_space=pltpu.SMEM)
-        acc_e = pl.BlockSpec((n_emit, 3), lambda i: (0, 0),
+        acc_e = pl.BlockSpec((n_emit, 3), acc_idx,
                              memory_space=pltpu.SMEM)
         da, de = pl.pallas_call(
             kernel,
-            grid=(grid,),
+            grid=(grid,) if n_chunks == 1 else (grid, n_chunks),
             in_specs=[smem, smem, res_spec, res_spec] + [ray_spec] * 3,
             out_specs=[acc_a, acc_e],
             out_shape=[jax.ShapeDtypeStruct((n_alb, 3), dtype),
@@ -1028,7 +1185,7 @@ def make_dyn_sweep_adjoint(scene, cfg: RenderConfig, tile_rows: int = 32,
 def make_dyn_adjoint(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
                      rng: str = "internal", interpret: bool | None = None,
                      n_rays: int | None = None, unroll_shapes: int = 16,
-                     fastmath: bool = False):
+                     fastmath: bool = False, n_chunks: int = 1):
     """Retrace adjoint over a memory-resident scene: regenerate rays and
     uniforms in-kernel, retrace collecting residuals in VMEM scratch,
     reverse-sweep, accumulate parameter-grad partials in SMEM (radiative
@@ -1036,16 +1193,21 @@ def make_dyn_adjoint(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
     mode, a fresh bounce seed for unbiased).
 
     Returns `adj(alb, emi, scn, seeds | (cam_u, u), g: V3[n],
-    tile_base=0) -> (d_albedo, d_emission)`."""
+    tile_base=0) -> (d_albedo, d_emission)`.
+
+    n_chunks > 1 (internal rng only): the spp-chunk loop rides the grid
+    (seeds advanced in-kernel, SMEM partials accumulate over all (tile,
+    chunk) steps) — one launch for the whole backward."""
     ds = DynScene.of(scene)
     sc = StaticCamera(cam, cfg.width, cfg.height)
     interpret = _resolve_interpret(interpret, rng)
+    assert n_chunks == 1 or rng == "internal"
     D = cfg.max_depth
     spp_c = cfg.spp // cfg.spp_chunks
     n = (cfg.width * cfg.height * spp_c) if n_rays is None else n_rays
     rows, padded = _pad_rows(n, tile_rows)
     grid = rows // tile_rows
-    tile, ray_spec, smem = _seg_spec_helpers(tile_rows)
+    tile, ray_spec, smem = _seg_spec_helpers(tile_rows, n_chunks)
 
     def kernel(*refs):
         it = iter(refs)
@@ -1066,11 +1228,13 @@ def make_dyn_adjoint(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
         dtype = gx.dtype.type
         i = pl.program_id(0)
         gi = tb_ref[0] + i
+        ck = pl.program_id(1) if n_chunks > 1 else 0
 
         if rng == "internal":
-            pltpu.prng_seed(seed_ref[0], gi)
+            seed0, seed1 = _chunk_seed_pair(seed_ref, ck, n_chunks)
+            pltpu.prng_seed(seed0, gi)
             cam_u = _uniform_from_bits((2, tile_rows, LANES), dtype)
-            pltpu.prng_seed(seed_ref[1], gi)
+            pltpu.prng_seed(seed1, gi)
             u = _uniform_from_bits((D, 3, tile_rows, LANES), dtype)
             u_s, u_t = cam_u[0], cam_u[1]
 
@@ -1101,7 +1265,11 @@ def make_dyn_adjoint(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
         g = V3(gx[...], gy[...], gz[...])
         _, da_acc, de_acc = _dyn_reverse_sweep(
             ds, alb_ref, emis_ref, g, scratch, D, g.x.shape, dtype)
-        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype)
+        first = pl.program_id(0) == 0
+        if n_chunks > 1:
+            first = first & (pl.program_id(1) == 0)
+        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype,
+                              first=first)
 
     def adjoint(albedo_tab, emission_tab, scn, *args, tile_base=0):
         dtype = albedo_tab.dtype
@@ -1115,13 +1283,15 @@ def make_dyn_adjoint(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
         call_args = [tb, *s_args, albedo_tab, emission_tab, *scn, *gargs]
         in_specs = ([smem, *s_specs] + [smem] * (2 + _N_SCN)
                     + [ray_spec] * 3)
-        acc_a = pl.BlockSpec((n_alb, 3), lambda i: (0, 0),
+        acc_idx = (lambda i: (0, 0)) if n_chunks == 1 \
+            else (lambda i, c: (0, 0))
+        acc_a = pl.BlockSpec((n_alb, 3), acc_idx,
                              memory_space=pltpu.SMEM)
-        acc_e = pl.BlockSpec((n_emit, 3), lambda i: (0, 0),
+        acc_e = pl.BlockSpec((n_emit, 3), acc_idx,
                              memory_space=pltpu.SMEM)
         da, de = pl.pallas_call(
             kernel,
-            grid=(grid,),
+            grid=(grid,) if n_chunks == 1 else (grid, n_chunks),
             in_specs=in_specs,
             out_specs=[acc_a, acc_e],
             out_shape=[jax.ShapeDtypeStruct((n_alb, 3), dtype),

@@ -151,7 +151,7 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
             d = V3(dx, dy, dz)
             best_t, hit, aux, mt, ar, er, ex, st = _dyn_intersect(
                 ds, scn_refs, o, d, dtype, unroll_shapes,
-                fastmath=fastmath)
+                fastmath=fastmath, alive=alive)
             alive = alive & hit
             gate = jnp.where(alive, rr_scale, dtype(0.0))
             ar = jnp.where(alive, ar, n_alb - 1)

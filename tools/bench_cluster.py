@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--levels", type=int, nargs="+", default=[1, 2, 3])
     ap.add_argument("--skip-off", action="store_true",
                     help="measure only the clustered variant")
+    ap.add_argument("--cluster-k", type=int, default=16,
+                    help="triangles per leaf cluster (sweep 8/16/32)")
+    ap.add_argument("--super-m", type=int, default=8,
+                    help="leaves per super cluster (1 = single level)")
     args = ap.parse_args()
 
     from drt_tpu.config import RenderConfig
@@ -84,9 +88,11 @@ def main():
     for level in args.levels:
         scene, params, cam = gallery.build_mesh(level=level,
                                                 dtype=jnp.float32)
-        ds_on = DynScene(scene)
-        tag = f"mesh{scene.num_shapes}"
+        ds_on = DynScene(scene, cluster_k=args.cluster_k,
+                         super_m=args.super_m)
+        tag = f"mesh{scene.num_shapes}_k{args.cluster_k}m{args.super_m}"
         out[f"{tag}_clusters"] = ds_on.n_clusters
+        out[f"{tag}_supers"] = ds_on.n_super
         t0 = time.perf_counter()
         r_on = make_dyn_image_renderer(ds_on, cam, cfg)
         img_on = measure(r_on, params, f"{tag}_cluster")
