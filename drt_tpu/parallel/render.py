@@ -24,6 +24,34 @@ from drt_tpu.scene import Params, Scene
 # arrays live in SMEM (~80 B/shape across geo + aux + attribute rows).
 MAX_DYN_SHAPES = 2048
 
+# The differentiable XLA wavefront reproducibly dies with a raw
+# "UNAVAILABLE: TPU device error" on big scene x size products
+# (mesh-87 at 640x480x256: 2/2 runs; the same code path is verified
+# green at 320x240x32/4-chunks = 5.3e7 — docs/ROUND3_NOTES.md §1).
+# Until the true bound is bisected on-chip (tools/repro_xla_bigscene.py)
+# gate the per-chunk rays * shapes product below the known-good region
+# so users get a config error naming the production alternative, not a
+# runtime infra crash. Forward-only is unaffected (it completed at
+# headline size, 2.03 Mrays/s).
+XLA_FWDBWD_MAX_RAY_SHAPES = 10 ** 8
+
+
+def _check_xla_diff_size(scene: Scene, cfg: RenderConfig) -> None:
+    if jax.default_backend() != "tpu":
+        return
+    rays_per_chunk = (cfg.width * cfg.height
+                      * (cfg.spp // cfg.spp_chunks))
+    product = rays_per_chunk * scene.num_shapes
+    if product > XLA_FWDBWD_MAX_RAY_SHAPES:
+        raise ValueError(
+            f"differentiable XLA wavefront at {rays_per_chunk} rays/chunk"
+            f" x {scene.num_shapes} shapes (product {product:.2g}) is in "
+            f"the range where the TPU runtime has been observed to fail "
+            f"with a raw device error (docs/ROUND3_NOTES.md §1; guard at "
+            f"{XLA_FWDBWD_MAX_RAY_SHAPES:.0g}). Use the memory-resident "
+            "kernels (backend='pallas-dyn', the production path for "
+            "scenes this size) or raise spp_chunks")
+
 
 def resolve_backend(scene: Scene, cfg: RenderConfig, mesh: Mesh | None,
                     backend: str = "auto") -> str:
@@ -211,6 +239,7 @@ def make_renderer(scene: Scene, cfg: RenderConfig, cam: Camera,
         constrain = None
 
     if differentiable:
+        _check_xla_diff_size(scene, cfg)
         diff = make_diff_image_renderer(scene, cam, cfg,
                                         constrain=constrain)
 

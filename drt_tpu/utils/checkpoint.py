@@ -44,18 +44,27 @@ def restore(path: str, like: TrainState):
 
 # One CheckpointManager per directory, reused across saves/restores in a
 # training loop (constructing a fresh manager per save is O(steps)
-# directory-scan churn). Closed explicitly via close_orbax() or at exit.
+# directory-scan churn). Closed explicitly via close_orbax(), or by the
+# atexit hook registered on first construction (orbax managers own
+# background threads; leaking them past interpreter teardown races).
 _MANAGERS: dict[str, object] = {}
+_ATEXIT_REGISTERED = False
 
 
 def _manager(directory: str):
     import orbax.checkpoint as ocp
 
+    global _ATEXIT_REGISTERED
     key = str(pathlib.Path(directory).resolve())
     mgr = _MANAGERS.get(key)
     if mgr is None:
         mgr = ocp.CheckpointManager(key)
         _MANAGERS[key] = mgr
+        if not _ATEXIT_REGISTERED:
+            import atexit
+
+            atexit.register(close_orbax)
+            _ATEXIT_REGISTERED = True
     return mgr
 
 
@@ -93,7 +102,14 @@ def restore_orbax(directory: str, like: TrainState, step: int | None = None):
     template = {"state": like,
                 "key_data": np.zeros((2,), np.uint32)}
     mgr = _manager(directory)
-    step = mgr.latest_step() if step is None else step
+    if step is None:
+        # A long-lived cached manager caches its step listing; another
+        # process may have written newer checkpoints to the same
+        # directory since (the old per-call manager always re-scanned).
+        reload_fn = getattr(mgr, "reload", None)
+        if callable(reload_fn):
+            reload_fn()
+        step = mgr.latest_step()
     out = mgr.restore(step, args=ocp.args.StandardRestore(template))
     key = jax.random.wrap_key_data(
         np.asarray(out["key_data"], np.uint32))

@@ -149,3 +149,26 @@ def test_explicit_regen_backend_passthrough(cbox_scene):
     with pytest.raises(ValueError, match="requires a mesh"):
         prender.make_renderer(scene, cfg, cam,
                               backend="pallas-regen-sharded")
+
+
+def test_xla_diff_big_product_guarded(tpu_backend):
+    """The differentiable XLA wavefront at big rays/chunk x shapes
+    products is a reproducible raw TPU device error (docs/
+    ROUND3_NOTES.md §1) — make_renderer must turn it into a config
+    error naming the dyn alternative (VERDICT r3 weak-#6)."""
+    from drt_tpu.models import gallery
+    scene, _, _ = gallery.build_mesh(level=1, dtype=jnp.float32)
+    cfg = RenderConfig(width=640, height=480, spp=256, max_depth=5,
+                       spp_chunks=16)
+    with pytest.raises(ValueError, match="pallas-dyn"):
+        prender._check_xla_diff_size(scene, cfg)
+    # The probed-green config stays allowed (320x240x32, 4 chunks).
+    prender._check_xla_diff_size(
+        scene, RenderConfig(width=320, height=240, spp=32, max_depth=5,
+                            spp_chunks=4))
+
+
+def test_xla_diff_guard_off_tpu(cbox_scene):
+    """CPU/interpret runs are unaffected by the TPU runtime bound."""
+    cfg = RenderConfig(width=640, height=480, spp=256, spp_chunks=1)
+    prender._check_xla_diff_size(cbox_scene, cfg)  # no raise off-TPU

@@ -89,6 +89,37 @@ def test_regen_sum_matches_xla_oracle_spp8(cbox):
     assert int(np.asarray(trips).max()) <= cfg.spp * cfg.max_depth
 
 
+def test_regen_trip_cut_matches_estimator_premise(cbox):
+    """Pin the trip-count model the regen estimator actually obeys
+    (VERDICT r3 #8 asked for the premise to be tested — and testing it
+    CORRECTED it): the while_loop ends when EVERY lane of the
+    (tile_rows*128)-lane tile has finished its spp samples, so trips ~
+    MAX over lanes of total path length, not the mean. The "~2.4x"
+    figure in the original estimator is the MEAN-occupancy cut
+    (1 / live-lane fraction 38.5% at depth 5, RR absorb 0.5 —
+    pathtracer.hpp:121-136); the realized trip cut is smaller by the
+    straggler tail, max ~= spp*E[len] + O(sqrt(spp)) over 1024 lanes:
+    measured ratio 0.775 of the spp*max_depth budget at spp=8 (cut
+    1.29x), approaching E[len]/depth ~ 0.39 only as spp_c grows. The
+    on-chip gate (tools/bench_regen.py) must therefore sweep spp_chunks
+    — small spp_c starves the packing win."""
+    scene, params, cam = cbox
+    cfg = RenderConfig(width=32, height=16, spp=8, max_depth=5,
+                       min_bounces=1, absorb_prob=0.5)
+    alb, emi = _tables(scene, params)
+    trg = make_regen_tracer(scene, cam, cfg, tile_rows=8, interpret=True)
+    _, trips = trg(alb, emi, SEEDS)
+    t = np.asarray(trips).astype(np.float64)
+    budget = cfg.spp * cfg.max_depth
+    assert t.max() <= budget
+    assert t.min() >= cfg.spp  # every sample costs >= 1 trip per lane
+    ratio = t.mean() / budget
+    # Straggler-gated band: a real cut exists (< 0.9) but nowhere near
+    # the mean-occupancy bound (> spp*E[len]/budget ~ 0.31) at spp=8.
+    assert 0.6 < ratio < 0.9, f"packing ratio {ratio:.3f} left the " \
+        f"measured straggler band (0.775 at this config)"
+
+
 @pytest.mark.parametrize("adjoint", ["stored", "retrace"])
 def test_regen_renderer_grads_match_xla_autodiff(cbox, adjoint):
     scene, params, cam = cbox
@@ -135,6 +166,21 @@ def test_regen_renderer_rejects_unbiased(cbox):
                        unbiased=True)
     with pytest.raises(ValueError, match="biased-only"):
         make_regen_image_renderer(scene, cam, cfg, interpret=True)
+
+
+def test_regen_renderer_guards_vmem_footprint(cbox):
+    """The adjoint kernels keep 5 (t_cap, tile_rows, 128) f32 blocks
+    VMEM-resident (2 residual inputs + 3 reconstructed-P scratch);
+    RenderConfig defaults (spp=100, depth=32 -> t_cap=3200, ~65 MiB at
+    tile_rows=8) must be a config error NAMING spp_chunks, not a Mosaic
+    compile failure (VERDICT r3 weak-#7 / advisor regen.py:152)."""
+    scene, _, cam = cbox
+    with pytest.raises(ValueError, match="spp_chunks is 10"):
+        make_regen_image_renderer(scene, cam, RenderConfig(),
+                                  interpret=True)
+    # The suggested knob value fits: spp_chunks=10 -> t_cap=320.
+    make_regen_image_renderer(scene, cam, RenderConfig(spp_chunks=10),
+                              interpret=True)
 
 
 def test_sharded_regen_matches_single_device(cbox):
