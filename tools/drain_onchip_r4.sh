@@ -43,6 +43,7 @@ done
 # 7. On-chip test subsets (hardware-PRNG paths the CPU can't emulate).
 TO=3600 run tpu_tests python -m pytest \
     tests/test_fused.py::test_internal_unbiased_adjoint_on_tpu \
-    tests/test_dynkernel.py::test_dyn_unbiased_adjoint_on_tpu -x -q
+    tests/test_dynkernel.py::test_dyn_unbiased_adjoint_on_tpu \
+    tests/test_chunkgrid.py::test_chunkgrid_seeds_advance_on_tpu -x -q
 
 echo "drain complete — see logs/r4_*.log"
