@@ -1185,7 +1185,8 @@ def make_regen_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
                               tile_rows: int = 8,
                               interpret: bool | None = None,
                               adjoint: str = "auto",
-                              fastmath: bool | str = "auto"):
+                              fastmath: bool | str = "auto",
+                              chunked: bool = True):
     """Build `render(params, seeds: i32[2]) -> image f[H,W,3]` on the
     path-REGENERATION kernels (ops/regen.py): lanes are pixels, each
     rendering its spp samples sequentially and refilling dead lanes with
@@ -1198,17 +1199,28 @@ def make_regen_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
     "retrace" re-runs the collect kernel inside the backward instead
     (one chunk's residuals live at a time); "auto" picks by the
     footprint budget as in make_fused_image_renderer.
+
+    chunked=True (default) folds the spp-chunk loop into the kernel
+    grid: one forward dispatch and one collect + one sweep dispatch for
+    the whole image, bit-equal to the host loop (ops/regen.py n_chunks).
+    chunked=False keeps the legacy cfg.spp_chunks sequential launches.
     """
     adjoint = _check_regen_cfg(cfg, adjoint, tile_rows)
     fm = _resolve_fastmath(fastmath, "internal")
+    n_chunks = cfg.spp_chunks if chunked else 1
+    # retrace exists to bound HBM to one chunk's residuals — its
+    # collect/sweep stay per-chunk launches (see _build_regen_renderer).
+    bwd_chunks = n_chunks if adjoint == "stored" else 1
     from drt_tpu.ops.regen import make_regen_sweep_adjoint, make_regen_tracer
     tracer = make_regen_tracer(scene, cam, cfg, tile_rows=tile_rows,
-                               interpret=interpret, fastmath=fm)
+                               interpret=interpret, fastmath=fm,
+                               n_chunks=n_chunks)
     collect = make_regen_tracer(scene, cam, cfg, tile_rows=tile_rows,
                                 interpret=interpret, fastmath=fm,
-                                collect=True)
+                                collect=True, n_chunks=bwd_chunks)
     sweep = make_regen_sweep_adjoint(scene, cfg, tile_rows=tile_rows,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     n_chunks=bwd_chunks)
 
     def trace_fn(alb, emi, seeds, sb):
         L, _ = tracer(alb, emi, seeds, sample_base=sb)
@@ -1221,7 +1233,9 @@ def make_regen_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
         return sweep(alb, emi, rsc, rmeta, trips, g)
 
     return _build_regen_renderer(scene, cfg, adjoint, trace_fn,
-                                 collect_fn, sweep_fn)
+                                 collect_fn, sweep_fn,
+                                 n_chunks=n_chunks,
+                                 bwd_chunks=bwd_chunks)
 
 
 # VMEM the regen adjoint kernels may spend on t_cap-deep residual
@@ -1273,16 +1287,35 @@ def _check_regen_cfg(cfg: RenderConfig, adjoint: str,
 
 
 def _build_regen_renderer(scene: Scene, cfg: RenderConfig, adjoint: str,
-                          trace_fn, collect_fn, sweep_fn):
+                          trace_fn, collect_fn, sweep_fn,
+                          n_chunks: int = 1, bwd_chunks: int | None = None):
     """Regen image-renderer custom VJP, shared by the single-device and
     sharded factories. Callable contracts (possibly shard_map-wrapped):
       trace_fn(alb, emi, seeds, sample_base) -> V3[npix]
       collect_fn(...) -> (V3[npix], rsc, rmeta, trips)
       sweep_fn(alb, emi, rsc, rmeta, trips, g: V3[npix]) -> (da, de)
+
+    n_chunks == cfg.spp_chunks means the forward tracer was built
+    chunk-grid (the spp-chunk loop rides the kernel grid; ops/regen.py):
+    ONE trace dispatch covers every chunk, and the callable's
+    sample_base stays 0 (the kernel derives per-chunk offsets).
+    n_chunks == 1 is the legacy host loop over cfg.spp_chunks launches.
+
+    bwd_chunks (default n_chunks) is the same switch for the
+    collect/sweep pair. The factories keep it at 1 when the resolved
+    adjoint is 'retrace': a chunk-grid collect materializes EVERY
+    chunk's residuals at once, which is exactly the HBM footprint
+    retrace exists to avoid — the retrace backward must stay a
+    per-chunk host loop.
     """
     w, h = cfg.width, cfg.height
     npix = w * h
     spp_c = cfg.spp // cfg.spp_chunks
+    bwd_chunks = n_chunks if bwd_chunks is None else bwd_chunks
+    one_shot = n_chunks != 1 or cfg.spp_chunks == 1
+    bwd_one_shot = bwd_chunks != 1 or cfg.spp_chunks == 1
+    assert n_chunks in (1, cfg.spp_chunks)
+    assert bwd_chunks in (1, cfg.spp_chunks)
 
     def _img(L):
         return jnp.stack([L.x, L.y, L.z], -1).reshape(h, w, 3)
@@ -1291,6 +1324,8 @@ def _build_regen_renderer(scene: Scene, cfg: RenderConfig, adjoint: str,
     def render(params: Params, seeds: jnp.ndarray) -> jnp.ndarray:
         alb = albedo_table(scene, params)
         emi = emission_table(scene, params)
+        if one_shot:
+            return _img(trace_fn(alb, emi, seeds, 0)) / cfg.spp
         img = jnp.zeros((h, w, 3), alb.dtype)
         for c in range(cfg.spp_chunks):
             img = img + _img(trace_fn(alb, emi, seeds, c * spp_c))
@@ -1301,6 +1336,10 @@ def _build_regen_renderer(scene: Scene, cfg: RenderConfig, adjoint: str,
             return render(params, seeds), (params, seeds, None)
         alb = albedo_table(scene, params)
         emi = emission_table(scene, params)
+        if bwd_one_shot:
+            L, rsc, rmeta, trips = collect_fn(alb, emi, seeds, 0)
+            return (_img(L) / cfg.spp,
+                    (params, seeds, ((rsc, rmeta, trips),)))
         img = jnp.zeros((h, w, 3), alb.dtype)
         residuals = []
         for c in range(cfg.spp_chunks):
@@ -1322,7 +1361,8 @@ def _build_regen_renderer(scene: Scene, cfg: RenderConfig, adjoint: str,
         l = params.emission.shape[0]
         da = jnp.zeros((k, 3), dtype)
         de = jnp.zeros((l, 3), dtype)
-        for c in range(cfg.spp_chunks):
+        n_calls = 1 if bwd_one_shot else cfg.spp_chunks
+        for c in range(n_calls):
             if residuals is not None:
                 rsc, rmeta, trips = residuals[c]
             else:
@@ -1344,7 +1384,8 @@ def make_sharded_regen_image_renderer(scene: Scene, cam: Camera,
                                       tile_rows: int = 8,
                                       interpret: bool | None = None,
                                       adjoint: str = "auto",
-                                      fastmath: bool | str = "auto"):
+                                      fastmath: bool | str = "auto",
+                                      chunked: bool = True):
     """Sharded regen path: the regeneration kernels run per-device under
     `shard_map`, each shard owning a contiguous slice of the PIXEL index
     space via `tile_base` (lanes are pixels, so the shard axis is pixels,
@@ -1368,15 +1409,19 @@ def make_sharded_regen_image_renderer(scene: Scene, cam: Camera,
 
     adjoint = _check_regen_cfg(cfg, adjoint, tile_rows, n_devices=n_dev)
     fm = _resolve_fastmath(fastmath, "internal")
+    n_chunks = cfg.spp_chunks if chunked else 1
+    bwd_chunks = n_chunks if adjoint == "stored" else 1
     from drt_tpu.ops.regen import make_regen_sweep_adjoint, make_regen_tracer
     tracer = make_regen_tracer(scene, cam, cfg, tile_rows=tile_rows,
                                interpret=interpret, fastmath=fm,
-                               n_pix=local_n)
+                               n_pix=local_n, n_chunks=n_chunks)
     collect = make_regen_tracer(scene, cam, cfg, tile_rows=tile_rows,
                                 interpret=interpret, fastmath=fm,
-                                n_pix=local_n, collect=True)
+                                n_pix=local_n, collect=True,
+                                n_chunks=bwd_chunks)
     sweep = make_regen_sweep_adjoint(scene, cfg, tile_rows=tile_rows,
-                                     interpret=interpret, n_pix=local_n)
+                                     interpret=interpret, n_pix=local_n,
+                                     n_chunks=bwd_chunks)
 
     def _dev_index():
         idx = 0
@@ -1386,8 +1431,11 @@ def make_sharded_regen_image_renderer(scene: Scene, cam: Camera,
 
     pix_p = P(names)
     v3_pix = V3(pix_p, pix_p, pix_p)
-    res_p = P(None, names)
-    trips_p = P(names)
+    # Chunk-grid residuals are (n_chunks, t_cap, pix) and trips are
+    # (tiles, n_chunks): the pixel/tile axis moves, the chunk axis is
+    # unsharded.
+    res_p = P(None, names) if bwd_chunks == 1 else P(None, None, names)
+    trips_p = P(names) if bwd_chunks == 1 else P(names, None)
 
     def _shard_trace(alb, emi, seeds, sb):
         L, _ = tracer(alb, emi, seeds,
@@ -1418,7 +1466,9 @@ def make_sharded_regen_image_renderer(scene: Scene, cam: Camera,
                                    v3_pix),
                          out_specs=(P(), P()), check_vma=False)
     return _build_regen_renderer(scene, cfg, adjoint, trace_fn,
-                                 collect_fn, sweep_fn)
+                                 collect_fn, sweep_fn,
+                                 n_chunks=n_chunks,
+                                 bwd_chunks=bwd_chunks)
 
 
 def make_dyn_regen_image_renderer(scene: Scene, cam: Camera,
@@ -1427,7 +1477,8 @@ def make_dyn_regen_image_renderer(scene: Scene, cam: Camera,
                                   interpret: bool | None = None,
                                   adjoint: str = "auto",
                                   unroll_shapes: int = 16,
-                                  fastmath: bool | str = "auto"):
+                                  fastmath: bool | str = "auto",
+                                  chunked: bool = True):
     """Regeneration renderer over a MEMORY-RESIDENT scene
     (ops/dynregen.py): make_regen_image_renderer's contract for scenes
     past the baked kernels' unroll budget (triangle meshes)."""
@@ -1437,15 +1488,19 @@ def make_dyn_regen_image_renderer(scene: Scene, cam: Camera,
 
     adjoint = _check_regen_cfg(cfg, adjoint, tile_rows)
     fm = _resolve_fastmath(fastmath, "internal")
+    n_chunks = cfg.spp_chunks if chunked else 1
+    bwd_chunks = n_chunks if adjoint == "stored" else 1
     ds = DynScene.of(scene)
     scene = ds.scene
     scn = ds.operands
     kw = dict(tile_rows=tile_rows, interpret=interpret, fastmath=fm,
               unroll_shapes=unroll_shapes)
-    tracer = make_dyn_regen_tracer(ds, cam, cfg, **kw)
-    collect = make_dyn_regen_tracer(ds, cam, cfg, collect=True, **kw)
+    tracer = make_dyn_regen_tracer(ds, cam, cfg, n_chunks=n_chunks, **kw)
+    collect = make_dyn_regen_tracer(ds, cam, cfg, collect=True,
+                                    n_chunks=bwd_chunks, **kw)
     sweep = make_dyn_regen_sweep_adjoint(ds, cfg, tile_rows=tile_rows,
-                                         interpret=interpret)
+                                         interpret=interpret,
+                                         n_chunks=bwd_chunks)
 
     def trace_fn(alb, emi, seeds, sb):
         L, _ = tracer(alb, emi, scn, seeds, sample_base=sb)
@@ -1458,7 +1513,9 @@ def make_dyn_regen_image_renderer(scene: Scene, cam: Camera,
         return sweep(alb, emi, rsc, rrow, trips, g)
 
     return _build_regen_renderer(scene, cfg, adjoint, trace_fn,
-                                 collect_fn, sweep_fn)
+                                 collect_fn, sweep_fn,
+                                 n_chunks=n_chunks,
+                                 bwd_chunks=bwd_chunks)
 
 
 def make_sharded_dyn_regen_image_renderer(scene: Scene, cam: Camera,
@@ -1467,7 +1524,8 @@ def make_sharded_dyn_regen_image_renderer(scene: Scene, cam: Camera,
                                           interpret: bool | None = None,
                                           adjoint: str = "auto",
                                           unroll_shapes: int = 16,
-                                          fastmath: bool | str = "auto"):
+                                          fastmath: bool | str = "auto",
+                                          chunked: bool = True):
     """Sharded dyn-regen path: pixels sharded by tile_base, scene
     operands replicated, grad partials psum'd (contract of
     make_sharded_regen_image_renderer over the dyn kernels)."""
@@ -1492,16 +1550,20 @@ def make_sharded_dyn_regen_image_renderer(scene: Scene, cam: Camera,
 
     adjoint = _check_regen_cfg(cfg, adjoint, tile_rows, n_devices=n_dev)
     fm = _resolve_fastmath(fastmath, "internal")
+    n_chunks = cfg.spp_chunks if chunked else 1
+    bwd_chunks = n_chunks if adjoint == "stored" else 1
     ds = DynScene.of(scene)
     scene = ds.scene
     scn = ds.operands
     kw = dict(tile_rows=tile_rows, interpret=interpret, fastmath=fm,
               unroll_shapes=unroll_shapes, n_pix=local_n)
-    tracer = make_dyn_regen_tracer(ds, cam, cfg, **kw)
-    collect = make_dyn_regen_tracer(ds, cam, cfg, collect=True, **kw)
+    tracer = make_dyn_regen_tracer(ds, cam, cfg, n_chunks=n_chunks, **kw)
+    collect = make_dyn_regen_tracer(ds, cam, cfg, collect=True,
+                                    n_chunks=bwd_chunks, **kw)
     sweep = make_dyn_regen_sweep_adjoint(ds, cfg, tile_rows=tile_rows,
                                          interpret=interpret,
-                                         n_pix=local_n)
+                                         n_pix=local_n,
+                                         n_chunks=bwd_chunks)
 
     def _dev_index():
         idx = 0
@@ -1511,8 +1573,8 @@ def make_sharded_dyn_regen_image_renderer(scene: Scene, cam: Camera,
 
     pix_p = P(names)
     v3_pix = V3(pix_p, pix_p, pix_p)
-    res_p = P(None, names)
-    trips_p = P(names)
+    res_p = P(None, names) if bwd_chunks == 1 else P(None, None, names)
+    trips_p = P(names) if bwd_chunks == 1 else P(names, None)
 
     def _shard_trace(alb, emi, seeds, sb):
         L, _ = tracer(alb, emi, scn, seeds,
@@ -1541,4 +1603,6 @@ def make_sharded_dyn_regen_image_renderer(scene: Scene, cam: Camera,
                                    v3_pix),
                          out_specs=(P(), P()), check_vma=False)
     return _build_regen_renderer(scene, cfg, adjoint, trace_fn,
-                                 collect_fn, sweep_fn)
+                                 collect_fn, sweep_fn,
+                                 n_chunks=n_chunks,
+                                 bwd_chunks=bwd_chunks)

@@ -48,7 +48,8 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
                           fastmath: bool = False,
                           n_pix: int | None = None,
                           unroll_shapes: int = 16,
-                          collect: bool = False):
+                          collect: bool = False,
+                          n_chunks: int = 1):
     """Regeneration forward kernel over a memory-resident scene.
 
     Returns `trace(albedo_tab, emission_tab, scn, seeds: i32[2],
@@ -59,6 +60,10 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
     tile's trip count are unwritten garbage bounded by `trips`).
     Hash-keyed internal RNG only (ops/regen.py hash_uniform /
     hash_tapes reproduce the draws XLA-side).
+
+    n_chunks > 1 folds the spp-chunk loop into a (tiles, chunks) grid
+    exactly as in ops/regen.make_regen_tracer (see there for the
+    bit-equality argument and the chunked output/residual shapes).
     """
     ds = DynScene.of(scene)
     sc = StaticCamera(cam, cfg.width, cfg.height)
@@ -100,7 +105,12 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
         pix_u = bc(pix, jnp.uint32)
         seed_cam = bc(jnp.full(shape, seed_ref[0], jnp.int32), jnp.uint32)
         seed_bnc = bc(jnp.full(shape, seed_ref[1], jnp.int32), jnp.uint32)
-        sbase = sb_ref[0]
+        if n_chunks == 1:
+            ck = None
+            sbase = sb_ref[0]
+        else:
+            ck = pl.program_id(1)
+            sbase = sb_ref[0] + np.int32(spp_c) * ck
 
         zero = jnp.zeros(shape, dtype)
         izero = jnp.zeros(shape, jnp.int32)
@@ -186,8 +196,12 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
                         + (alive.astype(jnp.int32) << _LIVE_BIT)
                         + (want.astype(jnp.int32) << _WANT_BIT)
                         + (rr_on.astype(jnp.int32) << _RRON_BIT))
-                rsc_ref[pl.ds(trip, 1)] = sc_v[None]
-                rrow_ref[pl.ds(trip, 1)] = pack[None]
+                if n_chunks == 1:
+                    rsc_ref[pl.ds(trip, 1)] = sc_v[None]
+                    rrow_ref[pl.ds(trip, 1)] = pack[None]
+                else:
+                    rsc_ref[0, pl.ds(trip, 1)] = sc_v[None]
+                    rrow_ref[0, pl.ds(trip, 1)] = pack[None]
             a = _rows_select(alb_ref, ar, n_alb - 1, 1.0, shape, dtype)
             tx = px.x * a.x * sc_v
             ty = px.y * a.y * sc_v
@@ -208,15 +222,49 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
                 jnp.full(shape, -1, jnp.int32), izero,
                 jnp.zeros(shape, bool))
         out = jax.lax.while_loop(cond, body, init)
-        lx_ref[...] = out[10]
-        ly_ref[...] = out[11]
-        lz_ref[...] = out[12]
-        trips_ref[0] = out[0]
+        if n_chunks == 1:
+            lx_ref[...] = out[10]
+            ly_ref[...] = out[11]
+            lz_ref[...] = out[12]
+            trips_ref[0] = out[0]
+        else:
+            @pl.when(ck == 0)
+            def _init():
+                lx_ref[...] = out[10]
+                ly_ref[...] = out[11]
+                lz_ref[...] = out[12]
+
+            @pl.when(ck != 0)
+            def _acc():
+                lx_ref[...] = lx_ref[...] + out[10]
+                ly_ref[...] = ly_ref[...] + out[11]
+                lz_ref[...] = lz_ref[...] + out[12]
+
+            trips_ref[0, 0] = out[0]
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
-    res_spec = pl.BlockSpec((t_cap, tile_rows, LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
+    if n_chunks == 1:
+        ray_spec = pl.BlockSpec(tile, lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        res_spec = pl.BlockSpec((t_cap, tile_rows, LANES),
+                                lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        trips_spec = pl.BlockSpec((1,), lambda i: (i,),
+                                  memory_space=pltpu.SMEM)
+        trips_shape = (grid,)
+        res_shape = (t_cap, rows, LANES)
+        launch_grid = (grid,)
+    else:
+        ray_spec = pl.BlockSpec(tile, lambda i, c: (i, 0),
+                                memory_space=pltpu.VMEM)
+        res_spec = pl.BlockSpec((1, t_cap, tile_rows, LANES),
+                                lambda i, c: (c, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+        trips_spec = pl.BlockSpec((1, 1), lambda i, c: (i, c),
+                                  memory_space=pltpu.SMEM)
+        trips_shape = (grid, n_chunks)
+        res_shape = (n_chunks, t_cap, rows, LANES)
+        launch_grid = (grid, n_chunks)
 
     def trace(albedo_tab, emission_tab, scn, seeds, tile_base=0,
               sample_base=0):
@@ -230,17 +278,16 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
         tb = jnp.asarray(tile_base, jnp.int32).reshape(1)
         sb = jnp.asarray(sample_base, jnp.int32).reshape(1)
         out_shape = ([jax.ShapeDtypeStruct((rows, LANES), dtype)] * 3
-                     + [jax.ShapeDtypeStruct((grid,), jnp.int32)])
-        out_specs = [ray_spec] * 3 + [
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)]
+                     + [jax.ShapeDtypeStruct(trips_shape, jnp.int32)])
+        out_specs = [ray_spec] * 3 + [trips_spec]
         if collect:
             out_shape += [
-                jax.ShapeDtypeStruct((t_cap, rows, LANES), dtype),
-                jax.ShapeDtypeStruct((t_cap, rows, LANES), jnp.int32)]
+                jax.ShapeDtypeStruct(res_shape, dtype),
+                jax.ShapeDtypeStruct(res_shape, jnp.int32)]
             out_specs += [res_spec, res_spec]
         out = pl.pallas_call(
             kernel,
-            grid=(grid,),
+            grid=launch_grid,
             in_specs=[smem] * (5 + _N_SCN),
             out_specs=out_specs,
             out_shape=out_shape,
@@ -248,8 +295,12 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
         )(tb, sb, seeds, albedo_tab, emission_tab, *scn)
         flat = [c.reshape(padded)[:n] for c in out[:3]]
         if collect:
-            rsc = out[4].reshape(t_cap, padded)[:, :n]
-            rrow = out[5].reshape(t_cap, padded)[:, :n]
+            if n_chunks == 1:
+                rsc = out[4].reshape(t_cap, padded)[:, :n]
+                rrow = out[5].reshape(t_cap, padded)[:, :n]
+            else:
+                rsc = out[4].reshape(n_chunks, t_cap, padded)[:, :, :n]
+                rrow = out[5].reshape(n_chunks, t_cap, padded)[:, :, :n]
             return V3(*flat), rsc, rrow, out[3]
         return V3(*flat), out[3]
 
@@ -259,7 +310,8 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
 def make_dyn_regen_sweep_adjoint(scene, cfg: RenderConfig,
                                  tile_rows: int = 8,
                                  interpret: bool | None = None,
-                                 n_pix: int | None = None):
+                                 n_pix: int | None = None,
+                                 n_chunks: int = 1):
     """Reverse-sweep adjoint over the dyn-regen stored residuals: the
     dynamic-trip form of dynkernel.make_dyn_sweep_adjoint (see
     ops/regen.make_regen_sweep_adjoint for the trip/want/suffix-reset
@@ -289,13 +341,13 @@ def make_dyn_regen_sweep_adjoint(scene, cfg: RenderConfig,
         shape = gx.shape
         n_alb = alb_ref.shape[0]
         n_emit = emis_ref.shape[0]
-        t_act = trips_ref[0]
+        t_act = trips_ref[0] if n_chunks == 1 else trips_ref[0, 0]
         one = jnp.ones(shape, dtype)
         zero = jnp.zeros(shape, dtype)
 
         def unpack(t):
-            sc_v = rsc_ref[t]
-            pack = rrow_ref[t]
+            sc_v = rsc_ref[t] if n_chunks == 1 else rsc_ref[0, t]
+            pack = rrow_ref[t] if n_chunks == 1 else rrow_ref[0, t]
             ar = pack & mask
             er = (pack >> _ROW_BITS) & mask
             live = (pack >> _LIVE_BIT) & 1
@@ -363,32 +415,57 @@ def make_dyn_regen_sweep_adjoint(scene, cfg: RenderConfig,
                                 (zero, zero, zero, da0, de0))
         da_acc = [list(r) for r in out[3]]
         de_acc = [list(r) for r in out[4]]
-        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype)
+        first = pl.program_id(0) == 0
+        if n_chunks > 1:
+            first = first & (pl.program_id(1) == 0)
+        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype,
+                              first=first)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
-    res_spec = pl.BlockSpec((t_cap, tile_rows, LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-    trips_spec = pl.BlockSpec((1,), lambda i: (i,),
-                              memory_space=pltpu.SMEM)
+    if n_chunks == 1:
+        ray_spec = pl.BlockSpec(tile, lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        res_spec = pl.BlockSpec((t_cap, tile_rows, LANES),
+                                lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        trips_spec = pl.BlockSpec((1,), lambda i: (i,),
+                                  memory_space=pltpu.SMEM)
+        acc_idx = lambda i: (0, 0)
+        launch_grid = (grid,)
+    else:
+        ray_spec = pl.BlockSpec(tile, lambda i, c: (i, 0),
+                                memory_space=pltpu.VMEM)
+        res_spec = pl.BlockSpec((1, t_cap, tile_rows, LANES),
+                                lambda i, c: (c, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+        trips_spec = pl.BlockSpec((1, 1), lambda i, c: (i, c),
+                                  memory_space=pltpu.SMEM)
+        acc_idx = lambda i, c: (0, 0)
+        launch_grid = (grid, n_chunks)
 
     def sweep(albedo_tab, emission_tab, rsc, rrow, trips, g: V3):
         n_alb = albedo_tab.shape[0]
         n_emit = emission_tab.shape[0]
         dtype = g.x.dtype
-        rsc_t = jnp.pad(rsc, ((0, 0), (0, padded - n))) \
-            .reshape(t_cap, rows, LANES)
-        rrow_t = jnp.pad(rrow, ((0, 0), (0, padded - n))) \
-            .reshape(t_cap, rows, LANES)
+        if n_chunks == 1:
+            rsc_t = jnp.pad(rsc, ((0, 0), (0, padded - n))) \
+                .reshape(t_cap, rows, LANES)
+            rrow_t = jnp.pad(rrow, ((0, 0), (0, padded - n))) \
+                .reshape(t_cap, rows, LANES)
+        else:
+            rsc_t = jnp.pad(rsc, ((0, 0), (0, 0), (0, padded - n))) \
+                .reshape(n_chunks, t_cap, rows, LANES)
+            rrow_t = jnp.pad(rrow, ((0, 0), (0, 0), (0, padded - n))) \
+                .reshape(n_chunks, t_cap, rows, LANES)
         gargs = [_to_tiles(c, padded, rows) for c in (g.x, g.y, g.z)]
-        acc_a = pl.BlockSpec((n_alb, 3), lambda i: (0, 0),
+        acc_a = pl.BlockSpec((n_alb, 3), acc_idx,
                              memory_space=pltpu.SMEM)
-        acc_e = pl.BlockSpec((n_emit, 3), lambda i: (0, 0),
+        acc_e = pl.BlockSpec((n_emit, 3), acc_idx,
                              memory_space=pltpu.SMEM)
         scratch = [pltpu.VMEM((t_cap, tile_rows, LANES), dtype)] * 3
         da, de = pl.pallas_call(
             kernel,
-            grid=(grid,),
+            grid=launch_grid,
             in_specs=[smem, smem, res_spec, res_spec, trips_spec]
             + [ray_spec] * 3,
             out_specs=[acc_a, acc_e],

@@ -143,7 +143,8 @@ def make_regen_tracer(scene: Scene, cam, cfg: RenderConfig,
                       interpret: bool | None = None,
                       fastmath: bool = False,
                       n_pix: int | None = None,
-                      collect: bool = False):
+                      collect: bool = False,
+                      n_chunks: int = 1):
     """Build the regeneration forward kernel.
 
     Returns `trace(albedo_tab, emission_tab, seeds: i32[2], tile_base=0,
@@ -165,6 +166,17 @@ def make_regen_tracer(scene: Scene, cam, cfg: RenderConfig,
     sample_base offsets the per-lane sample index (spp chunking across
     launches); tile_base offsets the pixel tiles (sharding), as in the
     lockstep kernels.
+
+    n_chunks > 1 folds the spp-chunk loop into the kernel grid
+    (tiles, chunks), chunk minor — the megakernel chunk-grid scheme
+    (VERDICT r3 #2a) applied to regen. The chunk's sample offset is
+    `sample_base + chunk * spp_c` computed in-kernel, and the hash RNG
+    keys on the ABSOLUTE sample index, so the one-launch radiance is
+    bit-equal to n_chunks separate launches (unlike the lockstep PRNG
+    this is exactly CPU-verifiable: tests/test_regen.py). L becomes the
+    per-pixel sum over ALL n_chunks*spp_c samples; trips becomes
+    i32[n_tiles, n_chunks] and collect residuals gain a chunk-major dim
+    (rsc: f[n_chunks, t_cap, n_pix]).
     """
     ss = StaticScene(scene)
     sc = StaticCamera(cam, cfg.width, cfg.height)
@@ -196,7 +208,12 @@ def make_regen_tracer(scene: Scene, cam, cfg: RenderConfig,
         pix_u = bc(pix, jnp.uint32)
         seed_cam = bc(jnp.full(shape, seed_ref[0], jnp.int32), jnp.uint32)
         seed_bnc = bc(jnp.full(shape, seed_ref[1], jnp.int32), jnp.uint32)
-        sbase = sb_ref[0]
+        if n_chunks == 1:
+            ck = None
+            sbase = sb_ref[0]
+        else:
+            ck = pl.program_id(1)
+            sbase = sb_ref[0] + np.int32(spp_c) * ck
 
         zero = jnp.zeros(shape, dtype)
         izero = jnp.zeros(shape, jnp.int32)
@@ -277,8 +294,12 @@ def make_regen_tracer(scene: Scene, cam, cfg: RenderConfig,
                     best = jnp.where(m, si + 1, best)
                 meta = (best | (want.astype(jnp.int32) << 8)
                         | (rr_on.astype(jnp.int32) << 9))
-                rsc_ref[pl.ds(trip, 1)] = sc_v[None]
-                rmeta_ref[pl.ds(trip, 1)] = meta[None]
+                if n_chunks == 1:
+                    rsc_ref[pl.ds(trip, 1)] = sc_v[None]
+                    rmeta_ref[pl.ds(trip, 1)] = meta[None]
+                else:
+                    rsc_ref[0, pl.ds(trip, 1)] = sc_v[None]
+                    rmeta_ref[0, pl.ds(trip, 1)] = meta[None]
             a = _albedo_select(ss, masks, alb_ref, shape, dtype)
             tx = px.x * a.x * sc_v
             ty = px.y * a.y * sc_v
@@ -301,33 +322,67 @@ def make_regen_tracer(scene: Scene, cam, cfg: RenderConfig,
                 jnp.full(shape, -1, jnp.int32), izero,
                 jnp.zeros(shape, bool))
         out = jax.lax.while_loop(cond, body, init)
-        lx_ref[...] = out[10]
-        ly_ref[...] = out[11]
-        lz_ref[...] = out[12]
-        trips_ref[0] = out[0]
+        if n_chunks == 1:
+            lx_ref[...] = out[10]
+            ly_ref[...] = out[11]
+            lz_ref[...] = out[12]
+            trips_ref[0] = out[0]
+        else:
+            # Chunk minor: this ray tile's radiance block stays
+            # VMEM-resident across the chunk dim and accumulates.
+            @pl.when(ck == 0)
+            def _init():
+                lx_ref[...] = out[10]
+                ly_ref[...] = out[11]
+                lz_ref[...] = out[12]
+
+            @pl.when(ck != 0)
+            def _acc():
+                lx_ref[...] = lx_ref[...] + out[10]
+                ly_ref[...] = ly_ref[...] + out[11]
+                lz_ref[...] = lz_ref[...] + out[12]
+
+            trips_ref[0, 0] = out[0]
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    res_spec = pl.BlockSpec((t_cap, tile_rows, LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
+    if n_chunks == 1:
+        ray_spec = pl.BlockSpec(tile, lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        res_spec = pl.BlockSpec((t_cap, tile_rows, LANES),
+                                lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        trips_spec = pl.BlockSpec((1,), lambda i: (i,),
+                                  memory_space=pltpu.SMEM)
+        trips_shape = (grid,)
+        res_shape = (t_cap, rows, LANES)
+        launch_grid = (grid,)
+    else:
+        ray_spec = pl.BlockSpec(tile, lambda i, c: (i, 0),
+                                memory_space=pltpu.VMEM)
+        res_spec = pl.BlockSpec((1, t_cap, tile_rows, LANES),
+                                lambda i, c: (c, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+        trips_spec = pl.BlockSpec((1, 1), lambda i, c: (i, c),
+                                  memory_space=pltpu.SMEM)
+        trips_shape = (grid, n_chunks)
+        res_shape = (n_chunks, t_cap, rows, LANES)
+        launch_grid = (grid, n_chunks)
 
     def trace(albedo_tab, emission_tab, seeds, tile_base=0, sample_base=0):
         dtype = albedo_tab.dtype
         tb = jnp.asarray(tile_base, jnp.int32).reshape(1)
         sb = jnp.asarray(sample_base, jnp.int32).reshape(1)
         out_shape = ([jax.ShapeDtypeStruct((rows, LANES), dtype)] * 3
-                     + [jax.ShapeDtypeStruct((grid,), jnp.int32)])
-        out_specs = [ray_spec] * 3 + [
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)]
+                     + [jax.ShapeDtypeStruct(trips_shape, jnp.int32)])
+        out_specs = [ray_spec] * 3 + [trips_spec]
         if collect:
             out_shape += [
-                jax.ShapeDtypeStruct((t_cap, rows, LANES), dtype),
-                jax.ShapeDtypeStruct((t_cap, rows, LANES), jnp.int32)]
+                jax.ShapeDtypeStruct(res_shape, dtype),
+                jax.ShapeDtypeStruct(res_shape, jnp.int32)]
             out_specs += [res_spec, res_spec]
         out = pl.pallas_call(
             kernel,
-            grid=(grid,),
+            grid=launch_grid,
             in_specs=[smem, smem, smem, smem, smem],
             out_specs=out_specs,
             out_shape=out_shape,
@@ -335,8 +390,12 @@ def make_regen_tracer(scene: Scene, cam, cfg: RenderConfig,
         )(tb, sb, seeds, albedo_tab, emission_tab)
         flat = [c.reshape(padded)[:n] for c in out[:3]]
         if collect:
-            rsc = out[4].reshape(t_cap, padded)[:, :n]
-            rmeta = out[5].reshape(t_cap, padded)[:, :n]
+            if n_chunks == 1:
+                rsc = out[4].reshape(t_cap, padded)[:, :n]
+                rmeta = out[5].reshape(t_cap, padded)[:, :n]
+            else:
+                rsc = out[4].reshape(n_chunks, t_cap, padded)[:, :, :n]
+                rmeta = out[5].reshape(n_chunks, t_cap, padded)[:, :, :n]
             return V3(*flat), rsc, rmeta, out[3]
         return V3(*flat), out[3]
 
@@ -346,7 +405,8 @@ def make_regen_tracer(scene: Scene, cam, cfg: RenderConfig,
 def make_regen_sweep_adjoint(scene: Scene, cfg: RenderConfig,
                              tile_rows: int = 32,
                              interpret: bool | None = None,
-                             n_pix: int | None = None):
+                             n_pix: int | None = None,
+                             n_chunks: int = 1):
     """Reverse-sweep adjoint over the regen kernel's stored residuals —
     the regen analogue of make_fused_sweep_adjoint (same radiative-
     backprop math, adjoint.py _param_grads; reference semantics
@@ -368,6 +428,11 @@ def make_regen_sweep_adjoint(scene: Scene, cfg: RenderConfig,
 
     Returns `sweep(alb, emi, rsc: f[t_cap, n], rmeta: i32[t_cap, n],
     trips: i32[n_tiles], g: V3[n]) -> (d_albedo, d_emission)`.
+
+    n_chunks > 1 consumes the chunk-grid collect tracer's residuals
+    (`rsc: f[n_chunks, t_cap, n]`, `trips: i32[n_tiles, n_chunks]`) and
+    accumulates every chunk's gradient partials in ONE launch over a
+    (tiles, chunks) grid — g is per PIXEL, identical across chunks.
     """
     ss = StaticScene(scene)
     if interpret is None:
@@ -391,15 +456,18 @@ def make_regen_sweep_adjoint(scene: Scene, cfg: RenderConfig,
         shape = gx.shape
         n_alb = alb_ref.shape[0]
         n_emit = emis_ref.shape[0]
-        t_act = trips_ref[0]
+        t_act = trips_ref[0] if n_chunks == 1 else trips_ref[0, 0]
         one = jnp.ones(shape, dtype)
+
+        def _res(ref, t):
+            return ref[t] if n_chunks == 1 else ref[0, t]
 
         # Pass 1: reconstruct P_t (bit-equal: same op order as the
         # forward's T/P recurrence) into VMEM scratch.
         def fwd_body(t, T):
             tx, ty, tz = T
-            sc_v = rsc_ref[t]
-            meta = rmeta_ref[t]
+            sc_v = _res(rsc_ref, t)
+            meta = _res(rmeta_ref, t)
             best = meta & 0xFF
             want = (meta >> 8) & 1
             rr_on = (meta >> 9) & 1
@@ -429,8 +497,8 @@ def make_regen_sweep_adjoint(scene: Scene, cfg: RenderConfig,
             sx, sy, sz = c[0], c[1], c[2]
             da_acc, de_acc = c[3], c[4]
             t = t_act - 1 - i
-            sc_v = rsc_ref[t]
-            meta = rmeta_ref[t]
+            sc_v = _res(rsc_ref, t)
+            meta = _res(rmeta_ref, t)
             best = meta & 0xFF
             want = (meta >> 8) & 1
             rr_on = (meta >> 9) & 1
@@ -477,32 +545,57 @@ def make_regen_sweep_adjoint(scene: Scene, cfg: RenderConfig,
                                 (zero, zero, zero, da0, de0))
         da_acc = [list(r) for r in out[3]]
         de_acc = [list(r) for r in out[4]]
-        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype)
+        first = pl.program_id(0) == 0
+        if n_chunks > 1:
+            first = first & (pl.program_id(1) == 0)
+        _accumulate_grad_smem(da_ref, de_ref, da_acc, de_acc, dtype,
+                              first=first)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
-    res_spec = pl.BlockSpec((t_cap, tile_rows, LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-    trips_spec = pl.BlockSpec((1,), lambda i: (i,),
-                              memory_space=pltpu.SMEM)
+    if n_chunks == 1:
+        ray_spec = pl.BlockSpec(tile, lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        res_spec = pl.BlockSpec((t_cap, tile_rows, LANES),
+                                lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        trips_spec = pl.BlockSpec((1,), lambda i: (i,),
+                                  memory_space=pltpu.SMEM)
+        acc_idx = lambda i: (0, 0)
+        launch_grid = (grid,)
+    else:
+        ray_spec = pl.BlockSpec(tile, lambda i, c: (i, 0),
+                                memory_space=pltpu.VMEM)
+        res_spec = pl.BlockSpec((1, t_cap, tile_rows, LANES),
+                                lambda i, c: (c, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+        trips_spec = pl.BlockSpec((1, 1), lambda i, c: (i, c),
+                                  memory_space=pltpu.SMEM)
+        acc_idx = lambda i, c: (0, 0)
+        launch_grid = (grid, n_chunks)
 
     def sweep(albedo_tab, emission_tab, rsc, rmeta, trips, g: V3):
         n_alb = albedo_tab.shape[0]
         n_emit = emission_tab.shape[0]
         dtype = g.x.dtype
-        rsc_t = jnp.pad(rsc, ((0, 0), (0, padded - n))) \
-            .reshape(t_cap, rows, LANES)
-        rmeta_t = jnp.pad(rmeta, ((0, 0), (0, padded - n))) \
-            .reshape(t_cap, rows, LANES)
+        if n_chunks == 1:
+            rsc_t = jnp.pad(rsc, ((0, 0), (0, padded - n))) \
+                .reshape(t_cap, rows, LANES)
+            rmeta_t = jnp.pad(rmeta, ((0, 0), (0, padded - n))) \
+                .reshape(t_cap, rows, LANES)
+        else:
+            rsc_t = jnp.pad(rsc, ((0, 0), (0, 0), (0, padded - n))) \
+                .reshape(n_chunks, t_cap, rows, LANES)
+            rmeta_t = jnp.pad(rmeta, ((0, 0), (0, 0), (0, padded - n))) \
+                .reshape(n_chunks, t_cap, rows, LANES)
         gargs = [_to_tiles(c, padded, rows) for c in (g.x, g.y, g.z)]
-        acc_a = pl.BlockSpec((n_alb, 3), lambda i: (0, 0),
+        acc_a = pl.BlockSpec((n_alb, 3), acc_idx,
                              memory_space=pltpu.SMEM)
-        acc_e = pl.BlockSpec((n_emit, 3), lambda i: (0, 0),
+        acc_e = pl.BlockSpec((n_emit, 3), acc_idx,
                              memory_space=pltpu.SMEM)
         scratch = [pltpu.VMEM((t_cap, tile_rows, LANES), dtype)] * 3
         da, de = pl.pallas_call(
             kernel,
-            grid=(grid,),
+            grid=launch_grid,
             in_specs=[smem, smem, res_spec, res_spec, trips_spec]
             + [ray_spec] * 3,
             out_specs=[acc_a, acc_e],

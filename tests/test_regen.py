@@ -214,3 +214,169 @@ def test_sharded_regen_matches_single_device(cbox):
         b = np.asarray(getattr(g_8, name))
         rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-12)
         assert rel < 1e-6, (name, rel)  # psum order only
+
+
+# ---------------------------------------------------------------------------
+# Chunk-grid (n_chunks > 1): the spp-chunk loop riding the kernel grid
+# must be bit-equal to the host loop it replaces. Unlike the lockstep
+# kernels' TPU PRNG, the hash RNG keys on the ABSOLUTE sample index, so
+# the in-kernel per-chunk offset is exactly verifiable under interpret.
+# ---------------------------------------------------------------------------
+
+def test_regen_chunk_grid_bit_equals_host_loop(cbox):
+    scene, params, cam = cbox
+    cfg = RenderConfig(width=40, height=24, spp=8, spp_chunks=4,
+                       max_depth=3)
+    spp_c = cfg.spp // cfg.spp_chunks
+    alb, emi = _tables(scene, params)
+    tr1 = make_regen_tracer(scene, cam, cfg, tile_rows=8, interpret=True)
+    trN = make_regen_tracer(scene, cam, cfg, tile_rows=8, interpret=True,
+                            n_chunks=cfg.spp_chunks)
+    LN, tripsN = trN(alb, emi, SEEDS)
+    assert tripsN.shape == (np.asarray(tripsN).shape[0], cfg.spp_chunks)
+    acc = None
+    for c in range(cfg.spp_chunks):
+        Lc, trips_c = tr1(alb, emi, SEEDS, sample_base=c * spp_c)
+        np.testing.assert_array_equal(np.asarray(tripsN[:, c]),
+                                      np.asarray(trips_c))
+        acc = (Lc if acc is None else
+               type(Lc)(acc.x + Lc.x, acc.y + Lc.y, acc.z + Lc.z))
+    for nm in ("x", "y", "z"):
+        np.testing.assert_array_equal(np.asarray(getattr(LN, nm)),
+                                      np.asarray(getattr(acc, nm)))
+
+
+def test_regen_collect_sweep_chunk_grid_match_host_loop(cbox):
+    from drt_tpu.ops.regen import make_regen_sweep_adjoint
+    from drt_tpu.ops.vecmath import V3
+
+    scene, params, cam = cbox
+    cfg = RenderConfig(width=40, height=24, spp=8, spp_chunks=4,
+                       max_depth=3)
+    spp_c = cfg.spp // cfg.spp_chunks
+    alb, emi = _tables(scene, params)
+    npix = cfg.width * cfg.height
+    col1 = make_regen_tracer(scene, cam, cfg, tile_rows=8, interpret=True,
+                             collect=True)
+    colN = make_regen_tracer(scene, cam, cfg, tile_rows=8, interpret=True,
+                             collect=True, n_chunks=cfg.spp_chunks)
+    LN, rscN, rmetaN, tripsN = colN(alb, emi, SEEDS)
+    sw1 = make_regen_sweep_adjoint(scene, cfg, tile_rows=8, interpret=True)
+    swN = make_regen_sweep_adjoint(scene, cfg, tile_rows=8, interpret=True,
+                                   n_chunks=cfg.spp_chunks)
+    g = V3(jnp.full((npix,), 0.25, jnp.float32),
+           jnp.full((npix,), 0.5, jnp.float32),
+           jnp.full((npix,), 0.125, jnp.float32))
+    daN, deN = swN(alb, emi, rscN, rmetaN, tripsN, g)
+    accL = da = de = None
+    for c in range(cfg.spp_chunks):
+        Lc, rsc_c, rmeta_c, trips_c = col1(alb, emi, SEEDS,
+                                           sample_base=c * spp_c)
+        accL = (Lc if accL is None else
+                type(Lc)(accL.x + Lc.x, accL.y + Lc.y, accL.z + Lc.z))
+        # residual rows past a tile's trip count are unwritten garbage;
+        # compare only rows below the per-tile bound (flattened pixels
+        # tile in (8*128)-pixel blocks).
+        t1 = np.asarray(trips_c)
+        tile_of = np.arange(npix) // (8 * 128)
+        valid = np.asarray(t1)[tile_of][None, :] > \
+            np.arange(rsc_c.shape[0])[:, None]
+        np.testing.assert_array_equal(
+            np.where(valid, np.asarray(rscN[c]), 0.0),
+            np.where(valid, np.asarray(rsc_c), 0.0))
+        np.testing.assert_array_equal(
+            np.where(valid, np.asarray(rmetaN[c]), 0),
+            np.where(valid, np.asarray(rmeta_c), 0))
+        da_c, de_c = sw1(alb, emi, rsc_c, rmeta_c, trips_c, g)
+        da = da_c if da is None else da + da_c
+        de = de_c if de is None else de + de_c
+    for nm in ("x", "y", "z"):
+        np.testing.assert_array_equal(np.asarray(getattr(LN, nm)),
+                                      np.asarray(getattr(accL, nm)))
+    np.testing.assert_allclose(np.asarray(daN), np.asarray(da),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(deN), np.asarray(de),
+                               rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("adjoint", ["stored", "retrace"])
+def test_regen_renderer_chunked_matches_host_loop(cbox, adjoint):
+    """Through the public renderer: chunked=True (one dispatch per
+    fwd/collect/sweep) is image-bit-equal and gradient-close to the
+    legacy chunked=False host loop."""
+    scene, params, cam = cbox
+    cfg = RenderConfig(width=40, height=24, spp=8, spp_chunks=4,
+                       max_depth=3)
+    imgs, grads = [], []
+    for chunked in (True, False):
+        r = make_regen_image_renderer(scene, cam, cfg, tile_rows=8,
+                                      interpret=True, adjoint=adjoint,
+                                      chunked=chunked)
+        img, vjp = jax.vjp(lambda p: r(p, SEEDS), params)
+        gr = vjp(jnp.ones_like(img))[0]
+        imgs.append(np.asarray(img))
+        grads.append((np.asarray(gr.albedo), np.asarray(gr.emission)))
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    np.testing.assert_allclose(grads[0][0], grads[1][0],
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(grads[0][1], grads[1][1],
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_dyn_regen_renderer_chunked_matches_host_loop(cbox):
+    from drt_tpu.fused import make_dyn_regen_image_renderer
+
+    scene, params, cam = cbox
+    cfg = RenderConfig(width=40, height=24, spp=8, spp_chunks=4,
+                       max_depth=3)
+    imgs, grads = [], []
+    for chunked in (True, False):
+        r = make_dyn_regen_image_renderer(scene, cam, cfg, tile_rows=8,
+                                          interpret=True,
+                                          chunked=chunked)
+        img, vjp = jax.vjp(lambda p: r(p, SEEDS), params)
+        gr = vjp(jnp.ones_like(img))[0]
+        imgs.append(np.asarray(img))
+        grads.append((np.asarray(gr.albedo), np.asarray(gr.emission)))
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    np.testing.assert_allclose(grads[0][0], grads[1][0],
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(grads[0][1], grads[1][1],
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_regen_chunked_matches_single_device(cbox):
+    """Sharded + chunk-grid stored adjoint: the chunk axis is unsharded
+    (residuals f[n_chunks, t_cap, pix] shard on pix, trips
+    i32[tiles, n_chunks] shard on tiles) — image bit-equal and grads
+    psum-close to the single-device chunked renderer."""
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    from drt_tpu.fused import make_sharded_regen_image_renderer
+
+    scene, params, cam = cbox
+    cfg = RenderConfig(width=128, height=64, spp=4, spp_chunks=2,
+                       max_depth=4)
+    devs = jax.devices("cpu")[:8]
+    mesh = Mesh(_np.asarray(devs), ("tiles",))
+    single = make_regen_image_renderer(scene, cam, cfg, tile_rows=8,
+                                       interpret=True, adjoint="stored")
+    sharded = make_sharded_regen_image_renderer(scene, cam, cfg, mesh,
+                                                tile_rows=8,
+                                                interpret=True,
+                                                adjoint="stored")
+    img_1 = np.asarray(single(params, SEEDS))
+    img_8 = np.asarray(sharded(params, SEEDS))
+    np.testing.assert_array_equal(img_8, img_1)
+
+    def loss(render):
+        return lambda p: (render(p, SEEDS) ** 2).sum()
+
+    g_1 = jax.grad(loss(single))(params)
+    g_8 = jax.grad(loss(sharded))(params)
+    for name in ("albedo", "emission"):
+        a = np.asarray(getattr(g_1, name))
+        b = np.asarray(getattr(g_8, name))
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-12)
+        assert rel < 1e-6, (name, rel)  # psum order only
