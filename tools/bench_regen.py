@@ -96,20 +96,19 @@ def run_one(args, scene, params, cam, seeds, n_chunks, out):
     h, w = cfg.height, cfg.width
     for tr in args.tile_rows:
         t0 = time.perf_counter()
+        # Chunk-grid tracer (production form): the spp-chunk loop rides
+        # the kernel grid — one launch per forward regardless of
+        # spp_chunks. trips comes back i32[n_tiles, n_chunks].
         trace = make_regen_tracer(scene, cam, cfg, tile_rows=tr,
-                                  fastmath=True)
+                                  fastmath=True,
+                                  n_chunks=cfg.spp_chunks)
 
         def render_regen(p, s, trace=trace):
             alb = albedo_table(scene, p)
             emi = emission_table(scene, p)
-            acc = None
-            trips = []
-            for c in range(cfg.spp_chunks):
-                L, t = trace(alb, emi, s, sample_base=c * spp_c)
-                img = jnp.stack([L.x, L.y, L.z], -1)
-                acc = img if acc is None else acc + img
-                trips.append(t)
-            return (acc / cfg.spp).reshape(h, w, 3), jnp.stack(trips)
+            L, trips = trace(alb, emi, s)
+            img = jnp.stack([L.x, L.y, L.z], -1)
+            return (img / cfg.spp).reshape(h, w, 3), trips
 
         fwd_r = jax.jit(render_regen)
         try:

@@ -9,7 +9,7 @@ run() {
   name="$1"; shift
   echo "=== $name: $* ==="
   timeout "$TO" "$@" 2>&1 | tee "logs/r4_${name}.log"
-  echo "=== $name rc=$? ==="
+  echo "=== $name rc=${PIPESTATUS[0]} ==="
 }
 
 # 1. Headline (fastmath + ratio-carry + chunk-grid dispatch collapse).
