@@ -288,6 +288,11 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
     geo_ref, aux_ref, orig_ref, mtype_ref, arow_ref, erow_ref, \
         expo_ref = scn_refs[:7]
     caabb_ref = scn_refs[7]
+    if len(geo_ref.shape) == 1:
+        # Raveled SMEM form (_flat_scn) — view as (S, w) row-major.
+        geo_ref = _View2D(geo_ref, 12)
+        aux_ref = _View2D(aux_ref, 3)
+        caabb_ref = _View2D(caabb_ref, 6)
     shape = d.x.shape
     inf = dtype(np.inf)
     one = jnp.ones(shape, dtype)
@@ -793,6 +798,29 @@ def _resolve_interpret(interpret, rng):
 _N_SCN = 8  # operand count of DynScene.operands (incl. cluster AABBs)
 
 
+def _flat_scn(scn):
+    """Ravel the 2-D scene tables (geo (S,12), aux (S,3), caabb (C,6))
+    before they enter SMEM. Mosaic pads the minor dim of rank>=2 SMEM
+    windows to 128 lanes — measured on v5e: the f32[1287,12] geo table
+    alone costs 644 KB of the 1 MB SMEM budget (42x its 15 KB payload)
+    and a 1287-shape scene fails to compile. Rank-1 SMEM arrays are
+    packed exactly; kernels read them through _View2D."""
+    return tuple(x.reshape(-1) if x.ndim == 2 else x for x in scn)
+
+
+class _View2D:
+    """(i, k) indexing over a raveled row-major (S, w) SMEM ref."""
+    __slots__ = ("ref", "w")
+
+    def __init__(self, ref, w):
+        self.ref = ref
+        self.w = w
+
+    def __getitem__(self, idx):
+        i, k = idx
+        return self.ref[i * self.w + k]
+
+
 def _prep_stream_specs(rng, entry_args, smem, tile_rows, D, rows,
                        padded, n):
     """Shared (seeds | cam_u + tape) call-arg/spec handling."""
@@ -911,7 +939,8 @@ def make_dyn_tracer(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
         s_args, s_specs, rest = _prep_stream_specs(
             rng, args, smem, tile_rows, D, rows, padded, n)
         assert not rest, len(rest)
-        call_args = [tb, *s_args, albedo_tab, emission_tab, *scn]
+        call_args = [tb, *s_args, albedo_tab, emission_tab,
+                     *_flat_scn(scn)]
         in_specs = [smem, *s_specs] + [smem] * (2 + _N_SCN)
         out = pl.pallas_call(
             kernel,
@@ -1043,7 +1072,8 @@ def make_dyn_collect_tracer(scene, cam, cfg: RenderConfig,
         s_args, s_specs, rest = _prep_stream_specs(
             rng, args, smem, tile_rows, D, rows, padded, n)
         assert not rest, len(rest)
-        call_args = [tb, *s_args, albedo_tab, emission_tab, *scn]
+        call_args = [tb, *s_args, albedo_tab, emission_tab,
+                     *_flat_scn(scn)]
         in_specs = [smem, *s_specs] + [smem] * (2 + _N_SCN)
         if n_chunks == 1:
             res_shapes = [jax.ShapeDtypeStruct((D, rows, LANES), dtype),
@@ -1280,7 +1310,8 @@ def make_dyn_adjoint(scene, cam, cfg: RenderConfig, tile_rows: int = 32,
             rng, args, smem, tile_rows, D, rows, padded, n)
         assert len(rest) == 3, len(rest)  # g.x, g.y, g.z
         gargs = [_to_tiles(c, padded, rows) for c in rest]
-        call_args = [tb, *s_args, albedo_tab, emission_tab, *scn, *gargs]
+        call_args = [tb, *s_args, albedo_tab, emission_tab,
+                     *_flat_scn(scn), *gargs]
         in_specs = ([smem, *s_specs] + [smem] * (2 + _N_SCN)
                     + [ray_spec] * 3)
         acc_idx = (lambda i: (0, 0)) if n_chunks == 1 \

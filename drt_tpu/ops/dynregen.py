@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from drt_tpu.config import RenderConfig
 from drt_tpu.constants import RAY_EPS
 from drt_tpu.ops.dynkernel import (_N_SCN, _ROW_BITS, _ROW_CAP, DynScene,
-                                   _dyn_intersect, _dyn_shade,
+                                   _dyn_intersect, _dyn_shade, _flat_scn,
                                    _rows_select)
 from drt_tpu.ops.megakernel import (LANES, StaticCamera,
                                     _accumulate_grad_smem,
@@ -112,8 +112,11 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
             ck = pl.program_id(1)
             sbase = sb_ref[0] + np.int32(spp_c) * ck
 
-        zero = jnp.zeros(shape, dtype)
-        izero = jnp.zeros(shape, jnp.int32)
+        # Mosaic layout pin: constant-initialized while_loop carries
+        # get a replicated layout the backedge can't restore (see
+        # regen.py) — derive the zeros from the lane-varying pix.
+        izero = jnp.minimum(pix, 0)
+        zero = izero.astype(dtype)
         n_alb = alb_ref.shape[0]
         n_emit = emis_ref.shape[0]
 
@@ -122,14 +125,17 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
                 _hash_bits(seed_u, pix_u, bc(s, jnp.uint32),
                            bc(b, jnp.uint32), dim), dtype, bc)
 
+        # alive rides the carry as i32 0/1, not bool (vector<i1>
+        # scf.yield fails to legalize in Mosaic — see regen.py).
         def cond(c):
-            trip, s, b, alive = c[0], c[13], c[14], c[15]
-            active = alive | (s < np.int32(spp_c - 1))
+            trip, s, b, alive_i = c[0], c[13], c[14], c[15]
+            active = (alive_i != 0) | (s < np.int32(spp_c - 1))
             return (trip < t_cap) & jnp.any(active)
 
         def body(c):
             (trip, ox, oy, oz, dx, dy, dz, tx, ty, tz,
-             llx, lly, llz, s, b, alive) = c
+             llx, lly, llz, s, b, alive_i) = c
+            alive = alive_i != 0
             want = (~alive) & (s < np.int32(spp_c - 1))
             s = jnp.where(want, s + 1, s)
             sg = s + sbase
@@ -215,18 +221,18 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
             b = b + 1
             alive = alive & (b < np.int32(cfg.max_depth))
             return (trip + np.int32(1), ox, oy, oz, dx, dy, dz,
-                    tx, ty, tz, llx, lly, llz, s, b, alive)
+                    tx, ty, tz, llx, lly, llz, s, b,
+                    alive.astype(jnp.int32))
 
         init = (np.int32(0), zero, zero, zero, zero, zero, zero,
                 zero, zero, zero, zero, zero, zero,
-                jnp.full(shape, -1, jnp.int32), izero,
-                jnp.zeros(shape, bool))
+                izero - 1, izero, izero)
         out = jax.lax.while_loop(cond, body, init)
         if n_chunks == 1:
             lx_ref[...] = out[10]
             ly_ref[...] = out[11]
             lz_ref[...] = out[12]
-            trips_ref[0] = out[0]
+            trips_ref[i] = out[0]
         else:
             @pl.when(ck == 0)
             def _init():
@@ -240,7 +246,7 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
                 ly_ref[...] = ly_ref[...] + out[11]
                 lz_ref[...] = lz_ref[...] + out[12]
 
-            trips_ref[0, 0] = out[0]
+            trips_ref[i, ck] = out[0]
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     if n_chunks == 1:
@@ -249,7 +255,7 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
         res_spec = pl.BlockSpec((t_cap, tile_rows, LANES),
                                 lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
-        trips_spec = pl.BlockSpec((1,), lambda i: (i,),
+        trips_spec = pl.BlockSpec((grid,), lambda i: (0,),
                                   memory_space=pltpu.SMEM)
         trips_shape = (grid,)
         res_shape = (t_cap, rows, LANES)
@@ -260,7 +266,7 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
         res_spec = pl.BlockSpec((1, t_cap, tile_rows, LANES),
                                 lambda i, c: (c, 0, i, 0),
                                 memory_space=pltpu.VMEM)
-        trips_spec = pl.BlockSpec((1, 1), lambda i, c: (i, c),
+        trips_spec = pl.BlockSpec((grid, n_chunks), lambda i, c: (0, 0),
                                   memory_space=pltpu.SMEM)
         trips_shape = (grid, n_chunks)
         res_shape = (n_chunks, t_cap, rows, LANES)
@@ -292,7 +298,7 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(tb, sb, seeds, albedo_tab, emission_tab, *scn)
+        )(tb, sb, seeds, albedo_tab, emission_tab, *_flat_scn(scn))
         flat = [c.reshape(padded)[:n] for c in out[:3]]
         if collect:
             if n_chunks == 1:
@@ -341,7 +347,9 @@ def make_dyn_regen_sweep_adjoint(scene, cfg: RenderConfig,
         shape = gx.shape
         n_alb = alb_ref.shape[0]
         n_emit = emis_ref.shape[0]
-        t_act = trips_ref[0] if n_chunks == 1 else trips_ref[0, 0]
+        ti = pl.program_id(0)
+        t_act = (trips_ref[ti] if n_chunks == 1
+                 else trips_ref[ti, pl.program_id(1)])
         one = jnp.ones(shape, dtype)
         zero = jnp.zeros(shape, dtype)
 
@@ -428,7 +436,7 @@ def make_dyn_regen_sweep_adjoint(scene, cfg: RenderConfig,
         res_spec = pl.BlockSpec((t_cap, tile_rows, LANES),
                                 lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
-        trips_spec = pl.BlockSpec((1,), lambda i: (i,),
+        trips_spec = pl.BlockSpec((grid,), lambda i: (0,),
                                   memory_space=pltpu.SMEM)
         acc_idx = lambda i: (0, 0)
         launch_grid = (grid,)
@@ -438,7 +446,7 @@ def make_dyn_regen_sweep_adjoint(scene, cfg: RenderConfig,
         res_spec = pl.BlockSpec((1, t_cap, tile_rows, LANES),
                                 lambda i, c: (c, 0, i, 0),
                                 memory_space=pltpu.VMEM)
-        trips_spec = pl.BlockSpec((1, 1), lambda i, c: (i, c),
+        trips_spec = pl.BlockSpec((grid, n_chunks), lambda i, c: (0, 0),
                                   memory_space=pltpu.SMEM)
         acc_idx = lambda i, c: (0, 0)
         launch_grid = (grid, n_chunks)

@@ -215,22 +215,34 @@ def make_regen_tracer(scene: Scene, cam, cfg: RenderConfig,
             ck = pl.program_id(1)
             sbase = sb_ref[0] + np.int32(spp_c) * ck
 
-        zero = jnp.zeros(shape, dtype)
-        izero = jnp.zeros(shape, jnp.int32)
+        # Mosaic layout pin (v5e): while_loop carries initialized from
+        # pure constants get a REPLICATED vector layout, but the body
+        # computes lane-varying values, and Mosaic cannot relayout
+        # non-replicated -> replicated at the loop backedge ("Invalid
+        # relayout: Non-singleton logical dimension is replicated in
+        # destination but not in source"). Derive the init zeros from
+        # the lane-varying pix vector so every carry starts with a
+        # concrete per-lane layout. Values are exactly 0 (pix >= 0).
+        izero = jnp.minimum(pix, 0)
+        zero = izero.astype(dtype)
 
         def draw(seed_u, s, b, dim):
             return _bits_to_open_unit(
                 _hash_bits(seed_u, pix_u, bc(s, jnp.uint32),
                            bc(b, jnp.uint32), dim), dtype, bc)
 
+        # alive rides the carry as i32 0/1, not bool: Mosaic cannot
+        # legalize a vector<i1> operand of the while backedge's
+        # scf.yield ("failed to legalize operation 'scf.yield'").
         def cond(c):
-            trip, s, b, alive = c[0], c[13], c[14], c[15]
-            active = alive | (s < np.int32(spp_c - 1))
+            trip, s, b, alive_i = c[0], c[13], c[14], c[15]
+            active = (alive_i != 0) | (s < np.int32(spp_c - 1))
             return (trip < t_cap) & jnp.any(active)
 
         def body(c):
             (trip, ox, oy, oz, dx, dy, dz, tx, ty, tz,
-             llx, lly, llz, s, b, alive) = c
+             llx, lly, llz, s, b, alive_i) = c
+            alive = alive_i != 0
             # --- regenerate: dead lanes with samples left start the next
             # sample's camera ray in this same trip.
             want = (~alive) & (s < np.int32(spp_c - 1))
@@ -315,18 +327,18 @@ def make_regen_tracer(scene: Scene, cam, cfg: RenderConfig,
             # loop end; config.py tail bound)
             alive = alive & (b < np.int32(cfg.max_depth))
             return (trip + np.int32(1), ox, oy, oz, dx, dy, dz,
-                    tx, ty, tz, llx, lly, llz, s, b, alive)
+                    tx, ty, tz, llx, lly, llz, s, b,
+                    alive.astype(jnp.int32))
 
         init = (np.int32(0), zero, zero, zero, zero, zero, zero,
                 zero, zero, zero, zero, zero, zero,
-                jnp.full(shape, -1, jnp.int32), izero,
-                jnp.zeros(shape, bool))
+                izero - 1, izero, izero)
         out = jax.lax.while_loop(cond, body, init)
         if n_chunks == 1:
             lx_ref[...] = out[10]
             ly_ref[...] = out[11]
             lz_ref[...] = out[12]
-            trips_ref[0] = out[0]
+            trips_ref[i] = out[0]
         else:
             # Chunk minor: this ray tile's radiance block stays
             # VMEM-resident across the chunk dim and accumulates.
@@ -342,8 +354,12 @@ def make_regen_tracer(scene: Scene, cam, cfg: RenderConfig,
                 ly_ref[...] = ly_ref[...] + out[11]
                 lz_ref[...] = lz_ref[...] + out[12]
 
-            trips_ref[0, 0] = out[0]
+            trips_ref[i, ck] = out[0]
 
+    # trips is a tiny per-(tile[, chunk]) scalar table: Mosaic rejects
+    # sub-tile VMEM-style blocks for it, so keep the FULL array SMEM-
+    # resident across the sequential grid (same pattern as the grad
+    # accumulators, megakernel.py:962) and index by program id.
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     if n_chunks == 1:
         ray_spec = pl.BlockSpec(tile, lambda i: (i, 0),
@@ -351,7 +367,7 @@ def make_regen_tracer(scene: Scene, cam, cfg: RenderConfig,
         res_spec = pl.BlockSpec((t_cap, tile_rows, LANES),
                                 lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
-        trips_spec = pl.BlockSpec((1,), lambda i: (i,),
+        trips_spec = pl.BlockSpec((grid,), lambda i: (0,),
                                   memory_space=pltpu.SMEM)
         trips_shape = (grid,)
         res_shape = (t_cap, rows, LANES)
@@ -362,7 +378,7 @@ def make_regen_tracer(scene: Scene, cam, cfg: RenderConfig,
         res_spec = pl.BlockSpec((1, t_cap, tile_rows, LANES),
                                 lambda i, c: (c, 0, i, 0),
                                 memory_space=pltpu.VMEM)
-        trips_spec = pl.BlockSpec((1, 1), lambda i, c: (i, c),
+        trips_spec = pl.BlockSpec((grid, n_chunks), lambda i, c: (0, 0),
                                   memory_space=pltpu.SMEM)
         trips_shape = (grid, n_chunks)
         res_shape = (n_chunks, t_cap, rows, LANES)
@@ -456,7 +472,9 @@ def make_regen_sweep_adjoint(scene: Scene, cfg: RenderConfig,
         shape = gx.shape
         n_alb = alb_ref.shape[0]
         n_emit = emis_ref.shape[0]
-        t_act = trips_ref[0] if n_chunks == 1 else trips_ref[0, 0]
+        ti = pl.program_id(0)
+        t_act = (trips_ref[ti] if n_chunks == 1
+                 else trips_ref[ti, pl.program_id(1)])
         one = jnp.ones(shape, dtype)
 
         def _res(ref, t):
@@ -558,7 +576,7 @@ def make_regen_sweep_adjoint(scene: Scene, cfg: RenderConfig,
         res_spec = pl.BlockSpec((t_cap, tile_rows, LANES),
                                 lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
-        trips_spec = pl.BlockSpec((1,), lambda i: (i,),
+        trips_spec = pl.BlockSpec((grid,), lambda i: (0,),
                                   memory_space=pltpu.SMEM)
         acc_idx = lambda i: (0, 0)
         launch_grid = (grid,)
@@ -568,7 +586,7 @@ def make_regen_sweep_adjoint(scene: Scene, cfg: RenderConfig,
         res_spec = pl.BlockSpec((1, t_cap, tile_rows, LANES),
                                 lambda i, c: (c, 0, i, 0),
                                 memory_space=pltpu.VMEM)
-        trips_spec = pl.BlockSpec((1, 1), lambda i, c: (i, c),
+        trips_spec = pl.BlockSpec((grid, n_chunks), lambda i, c: (0, 0),
                                   memory_space=pltpu.SMEM)
         acc_idx = lambda i, c: (0, 0)
         launch_grid = (grid, n_chunks)

@@ -25,32 +25,35 @@ from drt_tpu.scene import Params, Scene
 MAX_DYN_SHAPES = 2048
 
 # The differentiable XLA wavefront reproducibly dies with a raw
-# "UNAVAILABLE: TPU device error" on big scene x size products
-# (mesh-87 at 640x480x256: 2/2 runs; the same code path is verified
-# green at 320x240x32/4-chunks = 5.3e7 — docs/ROUND3_NOTES.md §1).
-# Until the true bound is bisected on-chip (tools/repro_xla_bigscene.py)
-# gate the per-chunk rays * shapes product below the known-good region
-# so users get a config error naming the production alternative, not a
-# runtime infra crash. Forward-only is unaffected (it completed at
-# headline size, 2.03 Mrays/s).
-XLA_FWDBWD_MAX_RAY_SHAPES = 10 ** 8
+# "UNAVAILABLE: TPU device error" on big scene x size products.
+# Bisected on-chip (tools/repro_xla_bigscene.py, logs/r4_repro_xla_*):
+# mesh-87 fwd+bwd is GREEN through 640x480x128spp = 3.9e7 TOTAL rays
+# (3.4e9 ray-shapes) and dies at 7.9e7 total rays (6.8e9) — both at
+# spp_chunks=4 AND at spp_chunks=16 with the same rays/chunk as a
+# green rung, so the bound is on the WHOLE-CALL rays x shapes product
+# (the backward's saved wavefront residuals scale with total rays;
+# chunking doesn't shrink what autodiff keeps live). Gate at the last
+# measured green product so users get a config error naming the
+# production alternative, not a runtime infra crash. Forward-only is
+# unaffected (completed at headline size).
+XLA_FWDBWD_MAX_RAY_SHAPES = 3.5e9
 
 
 def _check_xla_diff_size(scene: Scene, cfg: RenderConfig) -> None:
     if jax.default_backend() != "tpu":
         return
-    rays_per_chunk = (cfg.width * cfg.height
-                      * (cfg.spp // cfg.spp_chunks))
-    product = rays_per_chunk * scene.num_shapes
+    total_rays = cfg.width * cfg.height * cfg.spp
+    product = total_rays * scene.num_shapes
     if product > XLA_FWDBWD_MAX_RAY_SHAPES:
         raise ValueError(
-            f"differentiable XLA wavefront at {rays_per_chunk} rays/chunk"
+            f"differentiable XLA wavefront at {total_rays} rays"
             f" x {scene.num_shapes} shapes (product {product:.2g}) is in "
             f"the range where the TPU runtime has been observed to fail "
-            f"with a raw device error (docs/ROUND3_NOTES.md §1; guard at "
+            f"with a raw device error (bisected: green <= 3.4e9, dead at "
+            f"6.8e9 regardless of spp_chunks; guard at "
             f"{XLA_FWDBWD_MAX_RAY_SHAPES:.0g}). Use the memory-resident "
             "kernels (backend='pallas-dyn', the production path for "
-            "scenes this size) or raise spp_chunks")
+            "scenes this size) or lower spp/resolution")
 
 
 def resolve_backend(scene: Scene, cfg: RenderConfig, mesh: Mesh | None,

@@ -152,19 +152,20 @@ def test_explicit_regen_backend_passthrough(cbox_scene):
 
 
 def test_xla_diff_big_product_guarded(tpu_backend):
-    """The differentiable XLA wavefront at big rays/chunk x shapes
-    products is a reproducible raw TPU device error (docs/
-    ROUND3_NOTES.md §1) — make_renderer must turn it into a config
+    """The differentiable XLA wavefront at big TOTAL rays x shapes
+    products is a reproducible raw TPU device error (bisected in
+    logs/r4_repro_xla_*) — make_renderer must turn it into a config
     error naming the dyn alternative (VERDICT r3 weak-#6)."""
     from drt_tpu.models import gallery
     scene, _, _ = gallery.build_mesh(level=1, dtype=jnp.float32)
+    # Measured dead: 640x480x256 at ANY spp_chunks (6.8e9 ray-shapes).
     cfg = RenderConfig(width=640, height=480, spp=256, max_depth=5,
                        spp_chunks=16)
     with pytest.raises(ValueError, match="pallas-dyn"):
         prender._check_xla_diff_size(scene, cfg)
-    # The probed-green config stays allowed (320x240x32, 4 chunks).
+    # The measured-green rung stays allowed (640x480x128 = 3.4e9).
     prender._check_xla_diff_size(
-        scene, RenderConfig(width=320, height=240, spp=32, max_depth=5,
+        scene, RenderConfig(width=640, height=480, spp=128, max_depth=5,
                             spp_chunks=4))
 
 
