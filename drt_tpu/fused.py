@@ -1182,7 +1182,7 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
 
 
 def make_regen_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
-                              tile_rows: int = 8,
+                              tile_rows: int = 32,
                               interpret: bool | None = None,
                               adjoint: str = "auto",
                               fastmath: bool | str = "auto",
@@ -1381,7 +1381,7 @@ def _build_regen_renderer(scene: Scene, cfg: RenderConfig, adjoint: str,
 
 def make_sharded_regen_image_renderer(scene: Scene, cam: Camera,
                                       cfg: RenderConfig, mesh,
-                                      tile_rows: int = 8,
+                                      tile_rows: int = 32,
                                       interpret: bool | None = None,
                                       adjoint: str = "auto",
                                       fastmath: bool | str = "auto",
@@ -1473,7 +1473,7 @@ def make_sharded_regen_image_renderer(scene: Scene, cam: Camera,
 
 def make_dyn_regen_image_renderer(scene: Scene, cam: Camera,
                                   cfg: RenderConfig,
-                                  tile_rows: int = 8,
+                                  tile_rows: int = 32,
                                   interpret: bool | None = None,
                                   adjoint: str = "auto",
                                   unroll_shapes: int = 16,
@@ -1520,7 +1520,7 @@ def make_dyn_regen_image_renderer(scene: Scene, cam: Camera,
 
 def make_sharded_dyn_regen_image_renderer(scene: Scene, cam: Camera,
                                           cfg: RenderConfig, mesh,
-                                          tile_rows: int = 8,
+                                          tile_rows: int = 32,
                                           interpret: bool | None = None,
                                           adjoint: str = "auto",
                                           unroll_shapes: int = 16,

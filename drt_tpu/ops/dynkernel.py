@@ -173,10 +173,19 @@ class DynScene:
                 # order is spatially coherent) under a union AABB; the
                 # kernel slab-tests the super box once and skips all M
                 # leaf tests when no lane enters. Leaf rows pad to a
-                # multiple of M with EMPTY boxes (lo=+big > hi=-big:
-                # tmax < tmin, never entered, so their out-of-segment
-                # triangle slots are never touched). Super rows append
-                # AFTER the padded leaf rows in the same SMEM operand.
+                # multiple of M with inverted boxes (lo=+big > hi=-big —
+                # the identity of the super-row union). NOTE the slab
+                # test does NOT skip them: per-axis min/max NORMALIZES
+                # an inverted box into one that covers every t, so a
+                # padded row always "enters" (measured on-chip, round
+                # 4: 10k wrong pixels at level 2, the only config with
+                # pad > 0). The kernel guards padded rows by INDEX
+                # (cluster_body: c < n_clusters), and — defense in
+                # depth — their triangle slots are real in-range rows
+                # of degenerate (det == 0, valid == False) triangles,
+                # so even an entered padded cluster cannot change the
+                # nearest hit. Super rows append AFTER the padded leaf
+                # rows in the same SMEM operand.
                 M = super_m
                 C = self.n_clusters
                 n_super = -(-C // M)
@@ -186,6 +195,9 @@ class DynScene:
                     empty[:, :3] = 1e30
                     empty[:, 3:] = -1e30
                     caabb = np.concatenate([caabb, empty])
+                    slots = np.concatenate(
+                        [slots, np.full(pad * cluster_k, -1,
+                                        slots.dtype)])
                 grp = caabb.reshape(n_super, M, 6)
                 sup = np.concatenate([grp[:, :, :3].min(1),
                                       grp[:, :, 3:].max(1)], axis=1)
@@ -472,14 +484,26 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
 
         def cluster_body(c, carry):
             enter = _slab_enter(c, carry[0], carry[1])
+            pred = jnp.any(enter)
+            if ds.n_clusters_pad > ds.n_clusters:
+                # Padded leaf rows (inverted boxes, super-path only)
+                # are NOT excluded by the slab test: min/max
+                # normalization turns an inverted box into one
+                # covering every t, so without this index guard a
+                # padded cluster always runs its triangle slots —
+                # which, pre round-4 fix, indexed past the reseg'd
+                # triangle segment (OOB SMEM garbage hits on real
+                # TPU; the interpret tests missed it because
+                # interpret-mode OOB reads clamp to the last row,
+                # which loses the (t, orig) tie-break).
+                pred = pred & (c < ds.n_clusters)
 
             def run(cr):
                 for j in range(K):
                     cr = tri_body(t_lo + c * K + j, cr)
                 return cr
 
-            return jax.lax.cond(jnp.any(enter), run, lambda cr: cr,
-                                carry)
+            return jax.lax.cond(pred, run, lambda cr: cr, carry)
 
         if ds.n_super:
             # Two-level cull: super row s (stored after the padded leaf

@@ -269,21 +269,36 @@ def test_cluster_culling_bit_equals_unclustered(level, fastmath):
 
 def test_supercluster_build_invariants():
     """Two-level culling (VERDICT r3 #3): super row s unions leaf AABBs
-    [s*M, (s+1)*M); padding leaves are empty boxes (lo > hi) appended
-    before the super rows in the same SMEM operand."""
+    [s*M, (s+1)*M); padding leaves are inverted boxes (lo > hi — the
+    union identity) appended before the super rows in the same SMEM
+    operand. Round-4 on-chip regression: an inverted box is NOT skipped
+    by the slab test (min/max normalizes it to cover every t), so every
+    padded leaf's triangle slots must be REAL in-range rows of
+    degenerate triangles — pre-fix they indexed past the triangle
+    segment (OOB SMEM garbage on real TPU; wrong radiance at any
+    cluster count not divisible by super_m)."""
     scene, params, cam = gallery.build_mesh(level=2, dtype=jnp.float32)
     ds = DynScene(scene)  # 320 tris / K=16 -> 20+ leaves -> supers on
     assert ds.n_clusters > ds.super_m and ds.n_super > 0
     assert ds.n_clusters_pad == ds.n_super * ds.super_m
+    assert ds.n_clusters_pad > ds.n_clusters  # 20 leaves pad to 24
     caabb = np.asarray(ds.operands[7])
     assert caabb.shape[0] == ds.n_clusters_pad + ds.n_super
     leaves = caabb[:ds.n_clusters_pad].reshape(ds.n_super, ds.super_m, 6)
     sup = caabb[ds.n_clusters_pad:]
     np.testing.assert_array_equal(sup[:, :3], leaves[:, :, :3].min(1))
     np.testing.assert_array_equal(sup[:, 3:], leaves[:, :, 3:].max(1))
-    # Padding leaves are never-enter boxes.
+    # Padding leaves are inverted boxes (identity of the super union).
     pad = caabb[ds.n_clusters:ds.n_clusters_pad]
     assert (pad[:, :3] > pad[:, 3:]).all()
+    # EVERY indexable triangle slot (incl. padded clusters') is a real
+    # row: the triangle segment covers n_clusters_pad * K rows, and the
+    # padded clusters' rows are all-zero (degenerate, det == 0).
+    t0 = ds.n_plane + ds.n_sphere
+    geo = np.asarray(ds.operands[0])
+    assert geo.shape[0] - t0 == ds.n_clusters_pad * ds.cluster_k
+    padded_rows = geo[t0 + ds.n_clusters * ds.cluster_k:]
+    np.testing.assert_array_equal(padded_rows, 0.0)
 
 
 @pytest.mark.parametrize("fastmath", [False, True])
