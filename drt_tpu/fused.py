@@ -1182,7 +1182,7 @@ def make_sharded_fused_image_renderer(scene: Scene, cam: Camera,
 
 
 def make_regen_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
-                              tile_rows: int = 32,
+                              tile_rows: int | None = None,
                               interpret: bool | None = None,
                               adjoint: str = "auto",
                               fastmath: bool | str = "auto",
@@ -1204,7 +1204,11 @@ def make_regen_image_renderer(scene: Scene, cam: Camera, cfg: RenderConfig,
     grid: one forward dispatch and one collect + one sweep dispatch for
     the whole image, bit-equal to the host loop (ops/regen.py n_chunks).
     chunked=False keeps the legacy cfg.spp_chunks sequential launches.
+
+    tile_rows=None (default) picks the largest of (32, 16, 8) whose
+    residual blocks fit the VMEM budget.
     """
+    tile_rows = _resolve_regen_tile_rows(cfg, tile_rows)
     adjoint = _check_regen_cfg(cfg, adjoint, tile_rows)
     fm = _resolve_fastmath(fastmath, "internal")
     n_chunks = cfg.spp_chunks if chunked else 1
@@ -1253,6 +1257,20 @@ def _regen_vmem_bytes(cfg: RenderConfig, tile_rows: int) -> int:
     return _REGEN_SWEEP_BLOCKS * t_cap * tile_rows * 128 * 4
 
 
+def _resolve_regen_tile_rows(cfg: RenderConfig,
+                             tile_rows: int | None) -> int:
+    """None = auto: the largest of (32, 16, 8) whose regen residual
+    blocks fit the VMEM budget (32 is the throughput default; 8 is the
+    f32 tiling minimum — returned even when over budget so
+    _check_regen_cfg raises with the spp_chunks hint)."""
+    if tile_rows is not None:
+        return tile_rows
+    for tr in (32, 16):
+        if _regen_vmem_bytes(cfg, tr) <= _REGEN_VMEM_BUDGET:
+            return tr
+    return 8
+
+
 def _check_regen_cfg(cfg: RenderConfig, adjoint: str,
                      tile_rows: int, n_devices: int = 1) -> str:
     _check_fused_cfg(cfg)
@@ -1265,9 +1283,10 @@ def _check_regen_cfg(cfg: RenderConfig, adjoint: str,
     if need > _REGEN_VMEM_BUDGET:
         # Unlike the stored-vs-retrace HBM budget, VMEM cannot be saved
         # by retracing: the retrace backward reruns the SAME collect +
-        # sweep kernels per chunk. spp_chunks is the knob (it divides
-        # t_cap = spp/spp_chunks * max_depth); tile_rows=8 is already
-        # the f32 tiling minimum.
+        # sweep kernels per chunk. spp_chunks is the main knob (it
+        # divides t_cap = spp/spp_chunks * max_depth); tile_rows also
+        # scales the footprint (default 32 for throughput; 8 is the f32
+        # tiling minimum and cuts the footprint 4x).
         fitting = [c for c in range(cfg.spp_chunks, cfg.spp + 1)
                    if cfg.spp % c == 0
                    and _regen_vmem_bytes(
@@ -1280,8 +1299,8 @@ def _check_regen_cfg(cfg: RenderConfig, adjoint: str,
             f"VMEM per tile ({_REGEN_SWEEP_BLOCKS} blocks of "
             f"(spp/spp_chunks*max_depth, {tile_rows}, 128) f32) > "
             f"budget {_REGEN_VMEM_BUDGET / 2**20:.0f} MiB — a Mosaic "
-            f"compile error at launch. Raise spp_chunks{hint}, or use "
-            "the lockstep pallas backend")
+            f"compile error at launch. Raise spp_chunks{hint}, pass "
+            "tile_rows=8, or use the lockstep pallas backend")
     return _resolve_adjoint(cfg, adjoint, n_devices=n_devices,
                             tile_rows=tile_rows)
 
@@ -1381,7 +1400,7 @@ def _build_regen_renderer(scene: Scene, cfg: RenderConfig, adjoint: str,
 
 def make_sharded_regen_image_renderer(scene: Scene, cam: Camera,
                                       cfg: RenderConfig, mesh,
-                                      tile_rows: int = 32,
+                                      tile_rows: int | None = None,
                                       interpret: bool | None = None,
                                       adjoint: str = "auto",
                                       fastmath: bool | str = "auto",
@@ -1395,6 +1414,7 @@ def make_sharded_regen_image_renderer(scene: Scene, cam: Camera,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    tile_rows = _resolve_regen_tile_rows(cfg, tile_rows)
     names = tuple(mesh.axis_names)
     n_dev = int(np.prod(mesh.devices.shape))
     npix = cfg.width * cfg.height
@@ -1473,7 +1493,7 @@ def make_sharded_regen_image_renderer(scene: Scene, cam: Camera,
 
 def make_dyn_regen_image_renderer(scene: Scene, cam: Camera,
                                   cfg: RenderConfig,
-                                  tile_rows: int = 32,
+                                  tile_rows: int | None = None,
                                   interpret: bool | None = None,
                                   adjoint: str = "auto",
                                   unroll_shapes: int = 16,
@@ -1486,6 +1506,7 @@ def make_dyn_regen_image_renderer(scene: Scene, cam: Camera,
     from drt_tpu.ops.dynregen import (make_dyn_regen_sweep_adjoint,
                                       make_dyn_regen_tracer)
 
+    tile_rows = _resolve_regen_tile_rows(cfg, tile_rows)
     adjoint = _check_regen_cfg(cfg, adjoint, tile_rows)
     fm = _resolve_fastmath(fastmath, "internal")
     n_chunks = cfg.spp_chunks if chunked else 1
@@ -1520,7 +1541,7 @@ def make_dyn_regen_image_renderer(scene: Scene, cam: Camera,
 
 def make_sharded_dyn_regen_image_renderer(scene: Scene, cam: Camera,
                                           cfg: RenderConfig, mesh,
-                                          tile_rows: int = 32,
+                                          tile_rows: int | None = None,
                                           interpret: bool | None = None,
                                           adjoint: str = "auto",
                                           unroll_shapes: int = 16,
@@ -1536,6 +1557,7 @@ def make_sharded_dyn_regen_image_renderer(scene: Scene, cam: Camera,
     from drt_tpu.ops.dynregen import (make_dyn_regen_sweep_adjoint,
                                       make_dyn_regen_tracer)
 
+    tile_rows = _resolve_regen_tile_rows(cfg, tile_rows)
     names = tuple(mesh.axis_names)
     n_dev = int(np.prod(mesh.devices.shape))
     npix = cfg.width * cfg.height

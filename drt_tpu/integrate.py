@@ -18,14 +18,15 @@ any differentiable integrand:
   gradient equals the gradient of the expectation; the estimator's own
   sample noise no longer correlates forward and backward.
 
-DELIBERATE DEVIATION from the reference at n_samples > 1: the
-reference's loops SUM `forward/pdf` over n_samples with no 1/n
-(integrate.hpp:33-34 `r += ...`; same in IntegrateBackward:15-18), so
-its value and gradient scale linearly with n — a Monte-Carlo estimator
-of n * E[f/pdf]. This operator returns the MEAN (the standard n-sample
-estimator of E[f/pdf], and what the renderer's bsdf_samples /
-adjoint_samples knobs implement). At n_samples = 1 — the only value
-the reference app ever instantiates (pathtracer.hpp:111) — the two
+n_samples > 1 semantics: the reference's loops SUM `forward/pdf` over
+n_samples with no 1/n (integrate.hpp:33-34 `r += ...`; same in
+IntegrateBackward:15-18), so its value and gradient scale linearly
+with n — a Monte-Carlo estimator of n * E[f/pdf]. This operator
+DEFAULTS to the MEAN (the standard n-sample estimator of E[f/pdf],
+and what the renderer's bsdf_samples / adjoint_samples knobs
+implement), and offers `combine="sum"` for the reference's exact
+accumulate-without-1/n semantics. At n_samples = 1 — the only value
+the reference app ever instantiates (pathtracer.hpp:111) — all modes
 coincide exactly, which is what the golden-parity suite pins.
 
 The renderer's in-config knobs (`RenderConfig.unbiased`,
@@ -43,7 +44,7 @@ _BWD_SALT = 0x1A7E9
 
 
 def integrate(forward, sampler, params, key, n_samples: int = 1,
-              unbiased: bool = False):
+              unbiased: bool = False, combine: str = "mean"):
     """MC estimate of `E[forward(params, x)/pdf(x)]`, differentiable in
     `params`.
 
@@ -52,14 +53,20 @@ def integrate(forward, sampler, params, key, n_samples: int = 1,
       (pathtracer.hpp:97-105).
     sampler(key) -> (sample, pdf). Matches `sampler`
       (pathtracer.hpp:106-109); pdf may be a scalar or broadcastable.
-    n_samples: draws AVERAGED by the estimator (the reference SUMS
-      without 1/n, integrate.hpp:33-34 — see the module docstring on
-      this deliberate deviation); in unbiased mode the backward also
+    n_samples: number of draws; in unbiased mode the backward also
       draws n_samples fresh samples (integrate.hpp:15-19).
+    combine: "mean" (default) averages the draws — the standard
+      n-sample estimator; "sum" accumulates without 1/n, the
+      reference's exact loop semantics (integrate.hpp:33-34 and
+      IntegrateBackward:15-19 both `+=` with no normalization).
+      Identical at n_samples=1. See the module docstring.
     unbiased: see module docstring.
     """
     if n_samples < 1:
         raise ValueError("n_samples must be >= 1")
+    if combine not in ("mean", "sum"):
+        raise ValueError("combine must be 'mean' or 'sum'")
+    denom = n_samples if combine == "mean" else 1
 
     def estimate(p, k):
         def one(i):
@@ -68,7 +75,7 @@ def integrate(forward, sampler, params, key, n_samples: int = 1,
             return jax.tree.map(lambda x: x / pdf, v)
 
         vals = [one(i) for i in range(n_samples)]
-        return jax.tree.map(lambda *xs: sum(xs) / n_samples, *vals)
+        return jax.tree.map(lambda *xs: sum(xs) / denom, *vals)
 
     if not unbiased:
         # Biased: backward replays the forward's samples — plain AD

@@ -72,15 +72,41 @@ _TRI_DET_EPS = 1e-9  # matches drt_tpu/ops/intersect.py
 _ROW_BITS = 8
 _ROW_CAP = 1 << _ROW_BITS
 
+# Per-shape attribute packing in the `meta` SMEM operand: the nearest-
+# hit sweep carries ONE i32 per candidate instead of four (albedo row,
+# emission row, material type, shape type) — 3 fewer vector selects per
+# shape test per bounce; unpacked once per bounce after the sweep.
+_META_MT_SHIFT = 2 * _ROW_BITS
+_META_ST_SHIFT = _META_MT_SHIFT + 2
+
+
+def _pack_meta(arow, erow, mtype, stype):
+    return (arow | (erow << _ROW_BITS) | (mtype << _META_MT_SHIFT)
+            | (stype << _META_ST_SHIFT))
+
+
+def _unpack_meta(meta):
+    """meta i32 -> (albedo row, emission row, material type, shape
+    type); inverse of _pack_meta (vector form, ~6 cheap int ops)."""
+    mask = _ROW_CAP - 1
+    ar = meta & mask
+    er = (meta >> _ROW_BITS) & mask
+    mt = (meta >> _META_MT_SHIFT) & 3
+    st = meta >> _META_ST_SHIFT
+    return ar, er, mt, st
+
 
 class DynScene:
     """Host-side preparation of a Scene for the memory-resident kernels.
 
     Static (compile-time) facts: shape counts per type, table sizes,
     material classes present. Traced (runtime) data: `operands`, the
-    tuple of 8 arrays the kernels read from SMEM. Editing operand VALUES
-    (geometry positions, exponents, material rows) re-runs the same
-    compiled kernel; only topology changes (counts) rebuild.
+    tuple of 6 arrays the kernels read from SMEM — geo (S,12; triangle
+    rows as v0/e1/e2 edge form), aux (S,3 normal source), orig (S,
+    original index), meta (S, packed rows+material+shape type —
+    _pack_meta), expo (S), caabb (cluster AABBs). Editing operand
+    VALUES (geometry positions, exponents) re-runs the same compiled
+    kernel; only topology changes (counts) rebuild.
 
     Triangle clustering (the TPU acceleration structure): when the mesh
     has more than `cluster_min_tris` triangles, they are host-sorted
@@ -125,6 +151,15 @@ class DynScene:
         arow = mat_albedo[shape_mat][perm].astype(np.int32)
         erow = np.asarray(scene.shape_emit)[perm].astype(np.int32)
         expo = mat_exponent[shape_mat][perm].astype(np.float32)
+        if (arow.max(initial=0) >= _ROW_CAP
+                or erow.max(initial=0) >= _ROW_CAP):
+            raise ValueError(
+                f"dyn kernels pack table rows into {_ROW_BITS} bits "
+                f"(meta operand + stored residuals): max row is "
+                f"{int(max(arow.max(initial=0), erow.max(initial=0)))} "
+                f">= {_ROW_CAP}")
+        meta = _pack_meta(arow, erow, mtype,
+                          stype[perm].astype(np.int32)).astype(np.int32)
 
         # Hit-normal source per shape: the plane's raw stored normal
         # (shape.hpp:58-59 — never normalized), the sphere's center
@@ -213,17 +248,27 @@ class DynScene:
             geo_s = reseg(geo_s, 0.0)
             aux = reseg(aux, 0.0)
             orig = reseg(orig, S)
-            mtype = reseg(mtype, NULL_BXDF)
-            arow = reseg(arow, 0)
-            erow = reseg(erow, 0)
+            # Padding rows are degenerate triangles (det == 0, never
+            # win); their attributes are inert.
+            meta = reseg(meta, _pack_meta(0, 0, NULL_BXDF, TRIANGLE))
             expo = reseg(expo, 0.0)
         self.n_tri_pad = geo_s.shape[0] - t0 if self.n_clusters \
             else self.n_tri
 
+        # Kernel geo form: triangle rows store (v0, e1 = v1-v0,
+        # e2 = v2-v0) — the Moller-Trumbore edge diffs precomputed in
+        # the SAME f32 subtraction the kernel used to do per test
+        # (bit-identical values). `geo_vertex` keeps the (v0, v1, v2)
+        # vertex form for tests/tools.
+        self.geo_vertex = geo_s
+        geo_k = geo_s.copy()
+        if geo_k.shape[0] > t0:
+            geo_k[t0:, 3:6] -= geo_k[t0:, 0:3]
+            geo_k[t0:, 6:9] -= geo_k[t0:, 0:3]
+
         self.operands = (
-            jnp.asarray(geo_s), jnp.asarray(aux), jnp.asarray(orig),
-            jnp.asarray(mtype), jnp.asarray(arow), jnp.asarray(erow),
-            jnp.asarray(expo), jnp.asarray(caabb),
+            jnp.asarray(geo_k), jnp.asarray(aux), jnp.asarray(orig),
+            jnp.asarray(meta), jnp.asarray(expo), jnp.asarray(caabb),
         )
 
     @staticmethod
@@ -289,17 +334,20 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
                    max_unroll: int, fastmath: bool = False, alive=None):
     """Nearest-hit over the memory-resident shape arrays.
 
-    Returns (best_t, hit, aux V3, mtype, arow, erow, expo, stype) per
-    ray, where `hit` is the boolean any-hit mask and the attribute
-    vectors belong to the winning shape (garbage on no-hit lanes — the
-    caller masks). Winner selection is the lexicographic (t, original
-    index) minimum: strict-< keep-FIRST-in-scene-order tie behavior of
-    the reference scan (pathtracer.hpp:78-80) independent of the
-    type-sorted visit order. Per-type math mirrors ops/intersect.py
-    (which cites shape.hpp:49-56, :78-103)."""
-    geo_ref, aux_ref, orig_ref, mtype_ref, arow_ref, erow_ref, \
-        expo_ref = scn_refs[:7]
-    caabb_ref = scn_refs[7]
+    Returns (best_t, hit, aux V3, meta, expo) per ray, where `hit` is
+    the boolean any-hit mask, `meta` is the winner's packed attributes
+    (_unpack_meta -> albedo row, emission row, material type, shape
+    type) and `expo` its specular exponent (zeros when the topology has
+    no specular class — the carry is elided). Attribute vectors are
+    garbage on no-hit lanes — the caller masks. Winner selection is the
+    lexicographic (t, original index) minimum: strict-<
+    keep-FIRST-in-scene-order tie behavior of the reference scan
+    (pathtracer.hpp:78-80) independent of the type-sorted visit order.
+    Per-type math mirrors ops/intersect.py (which cites
+    shape.hpp:49-56, :78-103); triangle edge diffs (e1, e2) are
+    precomputed host-side in the same f32 ops (DynScene)."""
+    geo_ref, aux_ref, orig_ref, meta_ref, expo_ref = scn_refs[:5]
+    caabb_ref = scn_refs[5]
     if len(geo_ref.shape) == 1:
         # Raveled SMEM form (_flat_scn) — view as (S, w) row-major.
         geo_ref = _View2D(geo_ref, 12)
@@ -323,15 +371,14 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
         jnp.full(shape, ds.n_shapes, jnp.int32),  # best original index
         jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
         jnp.zeros(shape, dtype),                # aux (normal source)
-        jnp.full(shape, NULL_BXDF, jnp.int32),  # mat type
-        jnp.zeros(shape, jnp.int32),            # albedo row
-        jnp.zeros(shape, jnp.int32),            # emission row
-        jnp.zeros(shape, dtype),                # exponent
-        jnp.full(shape, PLANE, jnp.int32),      # shape type
+        jnp.full(shape, _pack_meta(0, 0, NULL_BXDF, PLANE),
+                 jnp.int32),                    # packed attributes
     )
+    if ds.have_specular:
+        carry = carry + (jnp.zeros(shape, dtype),)  # exponent
 
-    def update(carry, i, num, den, valid, auxx, auxy, auxz, st_lit):
-        bn, bd, boi, ax, ay, az, mt, ar, er, ex, st = carry
+    def update(carry, i, num, den, valid, auxx, auxy, auxz):
+        bn, bd, boi, ax, ay, az, meta = carry[:7]
         oi = orig_ref[i]
         if fastmath:
             lhs = num * bd
@@ -342,17 +389,16 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
             den = one
             closer = valid & ((num < bn)
                               | ((num == bn) & (bn < inf) & (oi < boi)))
-        return (jnp.where(closer, num, bn),
-                jnp.where(closer, den, bd),
-                jnp.where(closer, oi, boi),
-                jnp.where(closer, auxx, ax),
-                jnp.where(closer, auxy, ay),
-                jnp.where(closer, auxz, az),
-                jnp.where(closer, mtype_ref[i], mt),
-                jnp.where(closer, arow_ref[i], ar),
-                jnp.where(closer, erow_ref[i], er),
-                jnp.where(closer, expo_ref[i], ex),
-                jnp.where(closer, st_lit, st))
+        out = (jnp.where(closer, num, bn),
+               jnp.where(closer, den, bd),
+               jnp.where(closer, oi, boi),
+               jnp.where(closer, auxx, ax),
+               jnp.where(closer, auxy, ay),
+               jnp.where(closer, auxz, az),
+               jnp.where(closer, meta_ref[i], meta))
+        if ds.have_specular:
+            out = out + (jnp.where(closer, expo_ref[i], carry[7]),)
+        return out
 
     def plane_body(i, carry):
         n0, n1, n2 = geo_ref[i, 0], geo_ref[i, 1], geo_ref[i, 2]
@@ -365,9 +411,9 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
             num = jnp.where(neg, -h, h)
             den = jnp.abs(denom)
             return update(carry, i, num, den, (num > 0) & (den > 0),
-                          n0, n1, n2, PLANE)
+                          n0, n1, n2)
         t = h / denom
-        return update(carry, i, t, None, t > 0, n0, n1, n2, PLANE)
+        return update(carry, i, t, None, t > 0, n0, n1, n2)
 
     def sphere_body(i, carry):
         c0, c1, c2 = geo_ref[i, 0], geo_ref[i, 1], geo_ref[i, 2]
@@ -385,16 +431,14 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
             t2 = (-b + sq) / 2.0
         t = jnp.where(t1 > 0, t1, t2)
         return update(carry, i, t, one if fastmath else None,
-                      (disc >= 0) & (t > 0), c0, c1, c2, SPHERE)
+                      (disc >= 0) & (t > 0), c0, c1, c2)
 
     def tri_body(i, carry):
+        # Edge diffs e1 = v1-v0, e2 = v2-v0 are precomputed host-side
+        # in the same f32 subtraction (DynScene geo form).
         v0x, v0y, v0z = geo_ref[i, 0], geo_ref[i, 1], geo_ref[i, 2]
-        e1x = geo_ref[i, 3] - v0x
-        e1y = geo_ref[i, 4] - v0y
-        e1z = geo_ref[i, 5] - v0z
-        e2x = geo_ref[i, 6] - v0x
-        e2y = geo_ref[i, 7] - v0y
-        e2z = geo_ref[i, 8] - v0z
+        e1x, e1y, e1z = geo_ref[i, 3], geo_ref[i, 4], geo_ref[i, 5]
+        e2x, e2y, e2z = geo_ref[i, 6], geo_ref[i, 7], geo_ref[i, 8]
         px = d.y * e2z - d.z * e2y
         py = d.z * e2x - d.x * e2z
         pz = d.x * e2y - d.y * e2x
@@ -418,7 +462,7 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
             valid = ((den > _TRI_DET_EPS) & (u_n >= 0) & (v_n >= 0)
                      & (u_n + v_n <= den) & (t_n > 0))
             return update(carry, i, t_n, den, valid, aux_ref[i, 0],
-                          aux_ref[i, 1], aux_ref[i, 2], TRIANGLE)
+                          aux_ref[i, 1], aux_ref[i, 2])
         inv = 1.0 / det
         u = u_raw * inv
         v = v_raw * inv
@@ -426,7 +470,7 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
         valid = ((jnp.abs(det) > _TRI_DET_EPS) & (u >= 0) & (v >= 0)
                  & (u + v <= 1) & (t > 0))
         return update(carry, i, t, None, valid, aux_ref[i, 0],
-                      aux_ref[i, 1], aux_ref[i, 2], TRIANGLE)
+                      aux_ref[i, 1], aux_ref[i, 2])
 
     lo = 0
     carry = _loop(lo, lo + ds.n_plane, plane_body, carry, max_unroll)
@@ -508,8 +552,11 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
         if ds.n_super:
             # Two-level cull: super row s (stored after the padded leaf
             # rows) unions leaves [s*M, (s+1)*M); one whole-tile slab
-            # test skips all M leaf tests. Padding leaves are EMPTY
-            # boxes — never entered, their triangle slots never read.
+            # test skips all M leaf tests. Padding leaves ALWAYS pass
+            # the normalized slab test (inverted boxes normalize to
+            # lo<=hi); cluster_body excludes them via the
+            # `c < n_clusters` guard, and their triangle slots are
+            # degenerate in-range rows (see DynScene).
             # Both levels are fori_loops (NOT _loop's unroll): supers
             # only activate past 8 leaves (>128 tris), where exactly ONE
             # slab+cluster body instance keeps kernel size — and Mosaic
@@ -535,12 +582,13 @@ def _dyn_intersect(ds: DynScene, scn_refs, o: V3, d: V3, dtype,
     else:
         carry = _loop(lo, lo + ds.n_tri, tri_body, carry, max_unroll)
 
-    bn, bd, boi, ax, ay, az, mt, ar, er, ex, st = carry
+    bn, bd, boi, ax, ay, az, meta = carry[:7]
+    ex = carry[7] if ds.have_specular else jnp.zeros(shape, dtype)
     hit = bn < inf
     # The one divide per lane (bd == 1 in exact mode: bn IS t, and
     # inf/1 == inf on no-hit lanes either way).
     bt = bn / bd if fastmath else bn
-    return bt, hit, V3(ax, ay, az), mt, ar, er, ex, st
+    return bt, hit, V3(ax, ay, az), meta, ex
 
 
 def _rows_select(tab_ref, rows, n_param: int, default: float, shape,
@@ -712,7 +760,7 @@ def _dyn_wavefront_body(ds: DynScene, cfg: RenderConfig, scn_refs,
         else:
             rr_scale = dtype(1.0)
 
-        best_t, hit, aux, mt, ar, er, ex, st = _dyn_intersect(
+        best_t, hit, aux, meta, ex = _dyn_intersect(
             ds, scn_refs, o, d, dtype, max_unroll, fastmath=fastmath,
             alive=alive)
         alive = alive & hit
@@ -720,10 +768,11 @@ def _dyn_wavefront_body(ds: DynScene, cfg: RenderConfig, scn_refs,
         # Sanitize the winner attributes on dead lanes: sentinel rows
         # (zero emission / ones albedo), null material, plane normal
         # source 0 — so no garbage reaches residuals or throughput.
-        ar = jnp.where(alive, ar, alb_ref.shape[0] - 1)
-        er = jnp.where(alive, er, emis_ref.shape[0] - 1)
-        mt = jnp.where(alive, mt, NULL_BXDF)
-        st = jnp.where(alive, st, PLANE)
+        # One packed select covers rows + material + shape type.
+        meta = jnp.where(alive, meta, _pack_meta(
+            alb_ref.shape[0] - 1, emis_ref.shape[0] - 1, NULL_BXDF,
+            PLANE))
+        ar, er, mt, st = _unpack_meta(meta)
         aux = V3(jnp.where(alive, aux.x, 0.0),
                  jnp.where(alive, aux.y, 0.0),
                  jnp.where(alive, aux.z, 0.0))
@@ -819,7 +868,7 @@ def _resolve_interpret(interpret, rng):
     return interpret
 
 
-_N_SCN = 8  # operand count of DynScene.operands (incl. cluster AABBs)
+_N_SCN = 6  # operand count of DynScene.operands (incl. cluster AABBs)
 
 
 def _flat_scn(scn):

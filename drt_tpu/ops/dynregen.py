@@ -28,6 +28,7 @@ from drt_tpu.config import RenderConfig
 from drt_tpu.constants import RAY_EPS
 from drt_tpu.ops.dynkernel import (_N_SCN, _ROW_BITS, _ROW_CAP, DynScene,
                                    _dyn_intersect, _dyn_shade, _flat_scn,
+                                   _pack_meta, _unpack_meta,
                                    _rows_select)
 from drt_tpu.ops.megakernel import (LANES, StaticCamera,
                                     _accumulate_grad_smem,
@@ -165,15 +166,14 @@ def make_dyn_regen_tracer(scene, cam, cfg: RenderConfig,
 
             o = V3(ox, oy, oz)
             d = V3(dx, dy, dz)
-            best_t, hit, aux, mt, ar, er, ex, st = _dyn_intersect(
+            best_t, hit, aux, meta, ex = _dyn_intersect(
                 ds, scn_refs, o, d, dtype, unroll_shapes,
                 fastmath=fastmath, alive=alive)
             alive = alive & hit
             gate = jnp.where(alive, rr_scale, dtype(0.0))
-            ar = jnp.where(alive, ar, n_alb - 1)
-            er = jnp.where(alive, er, n_emit - 1)
-            mt = jnp.where(alive, mt, NULL_BXDF)
-            st = jnp.where(alive, st, PLANE)
+            meta = jnp.where(alive, meta, _pack_meta(
+                n_alb - 1, n_emit - 1, NULL_BXDF, PLANE))
+            ar, er, mt, st = _unpack_meta(meta)
             aux = V3(jnp.where(alive, aux.x, 0.0),
                      jnp.where(alive, aux.y, 0.0),
                      jnp.where(alive, aux.z, 0.0))

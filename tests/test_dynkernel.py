@@ -209,7 +209,9 @@ def test_cluster_build_invariants():
     scene, params, cam = gallery.build_mesh(level=2, dtype=jnp.float32)
     ds0 = DynScene(scene, cluster_min_tris=10**9)  # just for the sort
     t0 = ds0.n_plane + ds0.n_sphere
-    tri_geo = np.asarray(ds0.operands[0])[t0:]
+    # geo_vertex keeps (v0, v1, v2) rows — operands[0] stores the
+    # kernel's (v0, e1, e2) edge form.
+    tri_geo = np.asarray(ds0.geo_vertex)[t0:]
     K = 16
     slots, aabbs = _cluster_tris(tri_geo, K)
     assert slots.size == aabbs.shape[0] * K
@@ -282,7 +284,7 @@ def test_supercluster_build_invariants():
     assert ds.n_clusters > ds.super_m and ds.n_super > 0
     assert ds.n_clusters_pad == ds.n_super * ds.super_m
     assert ds.n_clusters_pad > ds.n_clusters  # 20 leaves pad to 24
-    caabb = np.asarray(ds.operands[7])
+    caabb = np.asarray(ds.operands[5])
     assert caabb.shape[0] == ds.n_clusters_pad + ds.n_super
     leaves = caabb[:ds.n_clusters_pad].reshape(ds.n_super, ds.super_m, 6)
     sup = caabb[ds.n_clusters_pad:]

@@ -101,3 +101,48 @@ def test_n_samples_validation():
     with pytest.raises(ValueError):
         integrate(_forward, _sampler, jnp.asarray(1.0), jax.random.key(0),
                   n_samples=0)
+    with pytest.raises(ValueError):
+        integrate(_forward, _sampler, jnp.asarray(1.0), jax.random.key(0),
+                  combine="median")
+
+
+def test_sum_combine_matches_reference_loop_semantics():
+    """combine='sum' reproduces the reference's accumulate-without-1/n
+    loops exactly (integrate.hpp:33-34 and IntegrateBackward:15-19):
+    value and gradient are n_samples * the mean estimator built from
+    the same draws, and at n_samples=1 all modes coincide."""
+    theta = jnp.asarray(1.7, jnp.float64)
+    k = jax.random.key(11)
+    for n in (1, 4):
+        v_mean = integrate(_forward, _sampler, theta, k, n_samples=n)
+        v_sum = integrate(_forward, _sampler, theta, k, n_samples=n,
+                          combine="sum")
+        np.testing.assert_allclose(float(v_sum), n * float(v_mean),
+                                   rtol=1e-12)
+        g_mean = jax.grad(lambda t: integrate(
+            _forward, _sampler, t, k, n_samples=n))(theta)
+        g_sum = jax.grad(lambda t: integrate(
+            _forward, _sampler, t, k, n_samples=n,
+            combine="sum"))(theta)
+        np.testing.assert_allclose(float(g_sum), n * float(g_mean),
+                                   rtol=1e-12)
+
+    # Reference-mirror check: hand-rolled += loop over the same fold_in
+    # sample stream (the exact integrate_biased semantics).
+    n = 3
+    acc = 0.0
+    for i in range(n):
+        x, pdf = _sampler(jax.random.fold_in(k, i))
+        acc += float(_forward(theta, x)) / float(pdf)
+    v_sum = integrate(_forward, _sampler, theta, k, n_samples=n,
+                      combine="sum")
+    np.testing.assert_allclose(float(v_sum), acc, rtol=1e-12)
+
+    # Unbiased mode sums the fresh backward draws the same way
+    # (IntegrateBackward:15-19 — grad scales with n, no 1/n).
+    gfn = jax.jit(jax.grad(lambda t, kk: integrate(
+        _forward, _sampler, t, kk, unbiased=True, n_samples=4,
+        combine="sum")))
+    g = _mc(lambda kk: gfn(theta, kk), 400)
+    se = g.std() / np.sqrt(len(g))
+    assert abs(g.mean() - 4.0 / 3.0) < 4 * se + 1e-12

@@ -183,6 +183,27 @@ def test_regen_renderer_guards_vmem_footprint(cbox):
                               interpret=True)
 
 
+def test_regen_tile_rows_auto_falls_back(cbox):
+    """tile_rows=None (default) auto-picks the largest of (32, 16, 8)
+    that fits the VMEM budget, so configs that fit at 8 but not at the
+    32 throughput default still build (advisor r4 fused.py:1185:
+    spp=64, spp_chunks=1, depth=5 -> t_cap=320 -> 26 MiB at 32,
+    6.6 MiB at 8)."""
+    from drt_tpu.fused import _resolve_regen_tile_rows
+
+    scene, params, cam = cbox
+    cfg = RenderConfig(width=16, height=8, spp=64, spp_chunks=1,
+                       max_depth=5)
+    assert _resolve_regen_tile_rows(cfg, None) == 8
+    assert _resolve_regen_tile_rows(cfg, 32) == 32  # explicit wins
+    render = make_regen_image_renderer(scene, cam, cfg, interpret=True)
+    img = np.asarray(render(params, SEEDS))
+    assert np.isfinite(img).all()
+    # A small t_cap keeps the throughput default.
+    small = RenderConfig(width=16, height=8, spp=4, max_depth=3)
+    assert _resolve_regen_tile_rows(small, None) == 32
+
+
 def test_sharded_regen_matches_single_device(cbox):
     import numpy as _np
     from jax.sharding import Mesh

@@ -81,6 +81,9 @@ def main() -> None:
                          "into a VPU utilization")
     ap.add_argument("--adjoint", action="store_true",
                     help="count the stored-residual sweep body instead")
+    ap.add_argument("--fastmath", action="store_true",
+                    help="count the fastmath kernel forms (the "
+                         "internal-RNG production default)")
     args = ap.parse_args()
 
     jax.config.update("jax_platforms", "cpu")
@@ -103,10 +106,12 @@ def main() -> None:
 
     def fwd_body(alb, emi, cu0, cu1, u):
         o, d = mk._camera_rays_static(sc, cfg.spp, tile_rows, 0,
-                                      cu0, cu1, dtype)
+                                      cu0, cu1, dtype,
+                                      fastmath=args.fastmath)
         return mk._wavefront_body(
             ss, cfg, alb, emi, o, d,
-            lambda lb: (u[lb, 0], u[lb, 1], u[lb, 2]), dtype)
+            lambda lb: (u[lb, 0], u[lb, 1], u[lb, 2]), dtype,
+            fastmath=args.fastmath)
 
     def sweep_body(alb, emi, rsc, rbest, gx, gy, gz):
         # Mirrors make_fused_sweep_adjoint's kernel body exactly,
