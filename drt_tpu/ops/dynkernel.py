@@ -79,6 +79,11 @@ _ROW_CAP = 1 << _ROW_BITS
 _META_MT_SHIFT = 2 * _ROW_BITS
 _META_ST_SHIFT = _META_MT_SHIFT + 2
 
+# cluster_k=None auto rule: meshes at/above this many triangles default
+# to K=32 leaves (measured win at scale), smaller ones to K=16 (parity
+# or ahead, less unrolled cluster body). Sweep: docs/ROUND5_NOTES.md §4.
+_AUTO_K32_TRIS = 1024
+
 
 def _pack_meta(arow, erow, mtype, stype):
     return (arow | (erow << _ROW_BITS) | (mtype << _META_MT_SHIFT)
@@ -112,7 +117,12 @@ class DynScene:
     has more than `cluster_min_tris` triangles, they are host-sorted
     into spatial clusters of `cluster_k` (median split on the longest
     centroid axis — a flattened BVH leaf list), each with a conservative
-    AABB. The kernel slab-tests each cluster AABB against the whole ray
+    AABB. `cluster_k=None` (default) adapts to mesh size: 16 below
+    `_AUTO_K32_TRIS` triangles, 32 at or above it — the on-chip sweep
+    (docs/ROUND5_NOTES.md §4-5, logs/r5_bench_cluster_k*.log) measured
+    K=32 +6.4% fwd / +6.1% fwd+bwd over K=16 at 1280 triangles for
+    +24% compile (48.8 s vs 39.5 s), while at 80-320 triangles K=16 is
+    at parity or ahead. The kernel slab-tests each cluster AABB against the whole ray
     tile and SKIPS the cluster's triangle tests when no lane's ray
     enters the box short of its current best hit — whole-tile culling
     is the SIMD-lockstep replacement for the reference's per-ray BVH
@@ -125,7 +135,7 @@ class DynScene:
     independent and padding triangles are degenerate (det == 0).
     """
 
-    def __init__(self, scene: Scene, cluster_k: int = 16,
+    def __init__(self, scene: Scene, cluster_k: int | None = None,
                  cluster_min_tris: int = 32, super_m: int = 8):
         self.scene = scene  # the original Scene (material tables etc.)
         stype = np.asarray(scene.shape_type)
@@ -192,6 +202,8 @@ class DynScene:
         # degenerate padding to a static cluster_k per cluster, plus
         # per-cluster conservative AABBs (the 8th SMEM operand).
         self.n_clusters = 0
+        if cluster_k is None:
+            cluster_k = 32 if self.n_tri >= _AUTO_K32_TRIS else 16
         self.cluster_k = cluster_k
         self.n_super = 0
         self.super_m = super_m

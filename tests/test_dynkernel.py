@@ -225,6 +225,24 @@ def test_cluster_build_invariants():
         assert (v[idx] >= lo - 1e-7).all() and (v[idx] <= hi + 1e-7).all()
 
 
+def test_cluster_k_auto_adapts_to_mesh_size():
+    """cluster_k=None (the default) resolves per the on-chip sweep
+    (docs/ROUND5_NOTES.md §4-5): K=16 below _AUTO_K32_TRIS triangles,
+    K=32 at or above — and an explicit K always wins."""
+    from drt_tpu.ops.dynkernel import _AUTO_K32_TRIS
+
+    small, _, _ = gallery.build_mesh(level=1, dtype=jnp.float32)  # 80
+    big, _, _ = gallery.build_mesh(level=3, dtype=jnp.float32)  # 1280
+    ds_small, ds_big = DynScene(small), DynScene(big)
+    assert ds_small.n_tri < _AUTO_K32_TRIS <= ds_big.n_tri
+    assert ds_small.cluster_k == 16
+    assert ds_big.cluster_k == 32
+    assert DynScene(big, cluster_k=16).cluster_k == 16
+    # The auto choice keeps the build invariants: every real triangle
+    # slotted once, padded slots degenerate.
+    assert ds_big.n_clusters * 32 >= ds_big.n_tri
+
+
 @pytest.mark.parametrize("level,fastmath", [(1, False), (2, False),
                                             (2, True)])
 def test_cluster_culling_bit_equals_unclustered(level, fastmath):
