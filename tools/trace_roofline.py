@@ -158,12 +158,25 @@ def main() -> None:
 
     summary = {"config": {"depth": args.depth, "spp": args.spp,
                           "rays": n_rays, "reps": args.reps}}
-    for tag, fn in (("fwd", fwd), ("fwdbwd", fwdbwd)):
+
+    def run_blocking(fn):
+        for _ in range(args.reps):
+            jax.block_until_ready(fn(params, seeds))
+
+    def run_pipelined(fn):
+        # Steady state: enqueue all reps, block once — the dispatch
+        # pattern optim.make_train_block / CLI --steps-per-call and the
+        # chunk-grid renderers consume in production.
+        jax.block_until_ready([fn(params, seeds) for _ in range(args.reps)])
+
+    legs = (("fwd", fwd, run_blocking), ("fwdbwd", fwdbwd, run_blocking),
+            ("fwd_pipelined", fwd, run_pipelined),
+            ("fwdbwd_pipelined", fwdbwd, run_pipelined))
+    for tag, fn, run in legs:
         with tempfile.TemporaryDirectory() as td:
             t0 = time.perf_counter()
             with jax.profiler.trace(td):
-                for _ in range(args.reps):
-                    jax.block_until_ready(fn(params, seeds))
+                run(fn)
             wall = time.perf_counter() - t0
             busy, by_name = _parse_trace(td)
         # Device-compute track: the busiest thread of a TPU process
@@ -195,6 +208,8 @@ def main() -> None:
         "vpu_peak_tops": V5E_VPU_PEAK / 1e12,
         "fwd_mrays_s_wall": round(
             n_rays / summary["fwd"]["wall_s_per_step"] / 1e6, 1),
+        "fwd_mrays_s_wall_pipelined": round(
+            n_rays / summary["fwd_pipelined"]["wall_s_per_step"] / 1e6, 1),
         "fwd_mrays_s_device": round(n_rays / dev_s / 1e6, 1),
         "issue_utilization_device_time": round(issue_util, 3),
         "mean_live_lane_fraction": round(live, 3),
